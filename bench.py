@@ -1,0 +1,98 @@
+"""Headline benchmark: flagship per-frame stylization throughput on one TPU chip.
+
+Workload = the latency-critical path of the reference's video streaming
+(``/root/reference/predict_video_using_checkpoint.py:93-98``): style params are
+precomputed once; each frame runs the jitted transfer net (rst-960-120-128-17,
+480x960x17 content in, 480x960x3 out, batch 1, bf16 compute).
+
+Measurement methodology: this host reaches the TPU through a tunnel where
+``block_until_ready`` does not reliably block and every dispatch pays a network
+round trip, so naive per-call timing is garbage.  Instead we run K frames inside ONE
+jitted ``lax.scan`` with a true data dependency between frames (stylized output fed
+back into the next frame's content) and fetch a single scalar — pure on-device
+throughput, one dispatch.
+
+Prints ONE JSON line: frames/sec vs the reference's 50 FPS headline
+(``/root/reference/docs/index.md:7-11``; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 50.0  # reference in-engine rate on an RTX-class GPU
+FRAMES_PER_SCAN = 20
+TRIALS = 5
+
+
+def main() -> None:
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.models.inference import (
+        make_inference_model,
+        plan_from_config,
+    )
+
+    config = ShapeConfig.from_spec("rst-960-120-128-17")
+    plan = plan_from_config(config)
+    model = make_inference_model(config, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    content = jax.random.uniform(rng, (1,) + config.content_shape, jnp.float32)
+    style = jax.random.uniform(rng, (1,) + config.style_shape, jnp.float32)
+    # One compiled executable for init: per-param dispatches are pathological
+    # through the tunnel.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, content, style, train=False
+    )
+
+    # Precompute style params once (resident on device), then time transfer-only.
+    style_params = jax.jit(
+        lambda v, s: model.apply(v, s, method=model.predict_style_params)
+    )(variables, style)
+
+    def frame_stream(variables, content, style_params):
+        def step(carry, _):
+            out = model.apply(variables, carry, style_params, method=model.stylize)
+            # Feed the stylized frame back into the content's RGB channels: a true
+            # inter-frame dependency so XLA cannot overlap/elide frames.
+            carry = jax.lax.dynamic_update_slice(
+                carry, out.astype(carry.dtype), (0, 0, 0, 0)
+            )
+            return carry, jnp.mean(out)
+        _, means = jax.lax.scan(step, content, None, length=FRAMES_PER_SCAN)
+        return jnp.sum(means)
+
+    stream = jax.jit(frame_stream)
+    float(jax.device_get(stream(variables, content, style_params)))  # compile+warm
+
+    per_frame = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(jax.device_get(stream(variables, content, style_params)))
+        per_frame.append((time.perf_counter() - t0) / FRAMES_PER_SCAN)
+
+    per_frame.sort()
+    p50 = per_frame[len(per_frame) // 2]
+    fps = 1.0 / p50
+    print(
+        json.dumps(
+            {
+                "metric": "rst-960-120-128-17_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "p50_frame_ms": round(p50 * 1e3, 3),
+                "frames_per_scan": FRAMES_PER_SCAN,
+                "num_style_parameters": plan.num_style_parameters,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

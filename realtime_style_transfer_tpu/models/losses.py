@@ -1,0 +1,173 @@
+"""Perceptual style/content loss tower.
+
+Re-design of ``/root/reference/realtime_style_transfer/models/styleLoss.py`` as flax
+modules + one jitted loss function.  Each extractor returns
+``{'content': {layer: feat}, 'style': {layer: feat}}`` and carries per-model loss
+factors, exactly like the reference's ``StyleLossModelBase`` subclasses:
+
+* VGG16  — style ``block1_conv2,block2_conv2,block3_conv3,block4_conv3``, content
+  ``block5_conv3``; caffe preprocessing (x255, RGB->BGR, mean subtract); factors
+  content 1e4 / style 1e-3 / tv 1e-1 / depth 1e-2 (``styleLoss.py:69-109``)
+* MobileNetV3-Small — residual-add taps; factors 1e-3 / 1 / 1e-3 / 1e-4
+  (``styleLoss.py:155-193``)
+* Dummy — two 3x3 convs, for fast offline tests (``styleLoss.py:196-220``)
+
+The composed loss (``make_style_loss_function``, reference ``styleLoss.py:295-369``)
+returns a dict of per-sample (B,) components:
+``loss = content L2 * f + gram-diff L2 * f + total_variation * f [+ depth * f]``.
+TPU notes: everything is one jitted graph — the three extractor invocations
+(ground-truth content, style, prediction) batch onto the MXU; grams accumulate in
+f32 via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.image_ops import gram_matrix, mean_l2_loss_on_batch, total_variation
+from .backbones import vgg as vgg_mod
+from .backbones import mobilenetv3 as mnv3_mod
+
+# Caffe-style means used by tf.keras.applications.vgg16.preprocess_input (BGR order).
+VGG_BGR_MEANS = (103.939, 116.779, 123.68)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossFactors:
+    content: float = 1.0
+    style: float = 1.0
+    total_variation: float = 1.0
+    depth: float = 1.0
+
+
+def vgg_preprocess(images01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] RGB -> caffe BGR, matching ``styleLoss.py:107-108``."""
+    x = images01.astype(jnp.float32) * 255.0
+    x = x[..., ::-1]  # RGB -> BGR
+    return x - jnp.asarray(VGG_BGR_MEANS, dtype=jnp.float32)
+
+
+class VGGLossExtractor(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+    factors: LossFactors = LossFactors(1e4, 1e-3, 1e-1, 1e-2)
+
+    @nn.compact
+    def __call__(self, images01: jnp.ndarray) -> Dict[str, Dict[str, jnp.ndarray]]:
+        x = vgg_preprocess(images01)
+        _, taps = vgg_mod.VGG16Features(
+            capture=vgg_mod.STYLE_TAPS + vgg_mod.CONTENT_TAPS,
+            dtype=self.dtype,
+            name="vgg16",
+        )(x)
+        return {
+            "content": {n: taps[n] for n in vgg_mod.CONTENT_TAPS},
+            "style": {n: taps[n] for n in vgg_mod.STYLE_TAPS},
+        }
+
+
+class MobileNetLossExtractor(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+    factors: LossFactors = LossFactors(1e-3, 1.0, 1e-3, 1e-4)
+
+    @nn.compact
+    def __call__(self, images01: jnp.ndarray) -> Dict[str, Dict[str, jnp.ndarray]]:
+        x = images01 * 2.0 - 1.0  # Rescaling(2, -1), styleLoss.py:192
+        _, taps = mnv3_mod.MobileNetV3Small(
+            capture=mnv3_mod.STYLE_TAPS + mnv3_mod.CONTENT_TAPS,
+            dtype=self.dtype,
+            name="mobilenetv3",
+        )(x, train=False)
+        return {
+            "content": {n: taps[n] for n in mnv3_mod.CONTENT_TAPS},
+            "style": {n: taps[n] for n in mnv3_mod.STYLE_TAPS},
+        }
+
+
+class DummyLossExtractor(nn.Module):
+    """Two tiny convs; fast, offline, used by tests (styleLoss.py:196-220)."""
+
+    dtype: jnp.dtype = jnp.float32
+    factors: LossFactors = LossFactors(1.0, 1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, images01: jnp.ndarray) -> Dict[str, Dict[str, jnp.ndarray]]:
+        x = images01.astype(self.dtype)
+        out1 = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="dummy_conv1")(x)
+        out2 = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="dummy_conv2")(out1)
+        return {"content": {"dummy_conv2": out2}, "style": {"dummy_conv1": out1}}
+
+
+LOSS_EXTRACTORS = {
+    "vgg": VGGLossExtractor,
+    "mobilenet": MobileNetLossExtractor,
+    "dummy": DummyLossExtractor,
+}
+
+
+def make_style_loss_function(
+    extractor_apply: Callable[[jnp.ndarray], Dict[str, Dict[str, jnp.ndarray]]],
+    factors: LossFactors,
+    depth_loss_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+):
+    """Build ``compute_loss(prediction, ground_truth) -> dict of (B,) components``.
+
+    ``extractor_apply`` must already have params bound (e.g. via
+    ``functools.partial(module.apply, {'params': ...})``).  ``ground_truth`` is
+    ``{'content': (B,H,W,3), 'style': (B,1,H,W,3)}`` — the loss path supports a
+    single style only, as in the reference (assert at ``styleLoss.py:311-312``).
+    """
+
+    def compute_loss(
+        prediction: jnp.ndarray, ground_truth: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        input_style = ground_truth["style"]
+        if input_style.ndim == 5:
+            if input_style.shape[1] != 1:
+                raise ValueError(
+                    f"loss model does not support multiple styles; got "
+                    f"{input_style.shape[1]}"
+                )
+            input_style = jnp.squeeze(input_style, axis=1)
+
+        loss_data_content = extractor_apply(ground_truth["content"])
+        loss_data_style = extractor_apply(input_style)
+        loss_data_prediction = extractor_apply(prediction)
+
+        content_terms = [
+            mean_l2_loss_on_batch(
+                loss_data_prediction["content"][layer].astype(jnp.float32)
+                - loss_data_content["content"][layer].astype(jnp.float32)
+            )
+            for layer in loss_data_content["content"]
+        ]
+        feature_loss = jnp.mean(jnp.stack(content_terms), axis=0) * factors.content
+
+        style_terms = [
+            mean_l2_loss_on_batch(
+                gram_matrix(loss_data_prediction["style"][layer])
+                - gram_matrix(loss_data_style["style"][layer])
+            )
+            for layer in loss_data_style["style"]
+        ]
+        style_loss = jnp.mean(jnp.stack(style_terms), axis=0) * factors.style
+
+        tv_loss = total_variation(prediction) * factors.total_variation
+
+        total = feature_loss + style_loss + tv_loss
+        out = {
+            "feature_loss": feature_loss,
+            "style_loss": style_loss,
+            "total_variation_loss": tv_loss,
+        }
+        if depth_loss_fn is not None:
+            depth = depth_loss_fn(ground_truth["content"], prediction) * factors.depth
+            out["depth_loss"] = depth
+            total = total + depth
+        out["loss"] = total
+        return out
+
+    return compute_loss

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, batch_sharding, replicated, shard_batch, replicate, DATA_AXIS, SPATIAL_AXIS  # noqa: F401
+from .train import DistributedTrainer  # noqa: F401
