@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Permutation feature importance per G-buffer channel group.
+
+Parity with the reference's ``compute_permutation_feature_importance.py`` (Fisher-
+style: shuffle one channel group across the batch, measure the loss increase vs the
+unperturbed baseline), with the same operational affordances: pickle-cached
+incremental resume and a pandas/LaTeX table at the end.
+
+TPU-first: the permutation happens on device inside the jitted loss step (a gather
+along the batch axis over the channel slice), so each (channel, batch) cell is one
+compiled call — no eager re-execution per channel as in the reference
+(``run_eagerly=True`` at reference ``:98``).
+
+    python compute_permutation_feature_importance.py -C logs/<run> \
+        --network_spec rst-960-120-128-17 --content_dir data/.../validation \
+        --style_dir data/wikiart/debug_images/validation -o out/importance
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from realtime_style_transfer_tpu import cli
+from realtime_style_transfer_tpu.tracing import logsetup
+
+log = logging.getLogger("feature_importance")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    cli.add_config_args(p)
+    p.add_argument("-C", "--checkpoint_path", type=Path, required=True)
+    p.add_argument("--content_dir", type=Path, required=True)
+    p.add_argument("--style_dir", type=Path, required=True)
+    p.add_argument("--loss", choices=["vgg", "mobilenet", "dummy"], default="vgg")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("-o", "--output", type=Path, default=Path("out/importance"))
+    return p.parse_args()
+
+
+def channel_slices(config):
+    """(name, start, end) per configured channel group."""
+    out = []
+    offset = 0
+    for name, n in config.channels:
+        out.append((name, offset, offset + n))
+        offset += n
+    return out
+
+
+def main():
+    args = parse_args()
+    logsetup.setup()
+
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_style_transfer_tpu.data import pipeline
+    from realtime_style_transfer_tpu.data.hdr_screenshots import (
+        find_screenshots, iter_hdr_screenshots,
+    )
+    from realtime_style_transfer_tpu.data.imaging import list_image_paths, load_image
+    from realtime_style_transfer_tpu.models.training import (
+        make_style_transfer_training_model, TrainState,
+    )
+
+    config = cli.config_from_args(args, num_styles=1)
+    tm = make_style_transfer_training_model(
+        config, loss_extractor=args.loss, with_depth_loss=False,
+        dtype=cli.compute_dtype(args),
+    )
+    state = tm.init_state(jax.random.PRNGKey(0))
+    variables = cli.load_variables(
+        args.checkpoint_path,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    state = TrainState(
+        step=state.step, params=variables["params"],
+        batch_stats=variables["batch_stats"], opt_state=state.opt_state,
+    )
+
+    def batches():
+        styles = (load_image(p, config.output_shape)
+                  for p in list_image_paths(args.style_dir))
+        if config.hdr and config.total_channels > 3:
+            pngs = find_screenshots(args.content_dir)
+            content = iter_hdr_screenshots(
+                pngs, config.channels, config.content_shape,
+                output_shape=config.output_shape,
+            )
+        else:
+            content = (
+                (load_image(p, config.content_shape),
+                 load_image(p, config.output_shape))
+                for p in list_image_paths(args.content_dir)
+            )
+        paired = pipeline.pair_content_and_style(content, styles)
+        yield from pipeline.batched(paired, args.batch_size)
+
+    def eval_loss(state, batch, c0: int, c1: int, permute: bool):
+        inputs, gt = batch
+        content = inputs["content"]
+        if permute:
+            perm = jnp.roll(jnp.arange(content.shape[0]), 1)
+            shuffled = content[perm, ..., c0:c1]
+            content = content.at[..., c0:c1].set(shuffled)
+        _, (losses, _) = tm.loss_and_metrics(
+            state.params, state.batch_stats,
+            ({**inputs, "content": content}, gt), train=False,
+        )
+        return jnp.mean(losses["loss"])
+
+    eval_loss_j = jax.jit(eval_loss, static_argnames=("c0", "c1", "permute"))
+
+    # pickle-cached incremental resume (reference :62-69,111-143 affordance)
+    args.output.mkdir(parents=True, exist_ok=True)
+    cache_path = args.output / "progress.pkl"
+    results = pickle.loads(cache_path.read_bytes()) if cache_path.exists() else {}
+
+    for bi, batch in enumerate(batches()):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        batch = jax.tree.map(jnp.asarray, batch)
+        for name, c0, c1 in [("__baseline__", 0, 0)] + channel_slices(config):
+            key = (bi, name)
+            if key in results:
+                continue
+            loss = float(eval_loss_j(
+                state, batch, c0=c0, c1=c1, permute=name != "__baseline__"
+            ))
+            results[key] = loss
+            cache_path.write_bytes(pickle.dumps(results))
+        log.info("batch %d done", bi)
+
+    # aggregate to a table
+    import pandas as pd
+
+    rows = []
+    batch_ids = sorted({b for b, _ in results})
+    for name, _, _ in channel_slices(config):
+        deltas = [
+            results[(b, name)] - results[(b, "__baseline__")]
+            for b in batch_ids if (b, name) in results
+        ]
+        if deltas:
+            rows.append({
+                "channel": name,
+                "importance": float(np.mean(deltas)),
+                "std": float(np.std(deltas)),
+                "batches": len(deltas),
+            })
+    df = pd.DataFrame(rows).sort_values("importance", ascending=False)
+    print(df.to_string(index=False))
+    (args.output / "importance.csv").write_text(df.to_csv(index=False))
+    (args.output / "importance.tex").write_text(df.to_latex(index=False))
+    log.info("wrote %s", args.output / "importance.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Stream frames through the transfer net and encode a video.
+
+Parity with the reference's ``predict_video_using_checkpoint.py``: style params are
+computed ONCE and stay resident on device; each frame runs only the jitted transfer
+net.  Encoding uses an ffmpeg subprocess when available (the reference used
+moviepy/ffmpeg); otherwise frames are written as a PNG sequence.
+
+    python predict_video_using_checkpoint.py -C logs/<run> -s style.jpg \
+        --frames_dir data/screenshots/hdr_images/validation -o out/video.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from realtime_style_transfer_tpu import cli
+from realtime_style_transfer_tpu.tracing import logsetup
+
+log = logging.getLogger("predict_video")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    cli.add_config_args(p)
+    p.add_argument("-C", "--checkpoint_path", type=Path, required=True)
+    p.add_argument("-s", "--style", type=Path, required=True)
+    p.add_argument("--frames_dir", type=Path, required=True,
+                   help="directory of frame PNGs (+ EXR siblings when HDR)")
+    p.add_argument("-o", "--output", type=Path, default=Path("out/video.mp4"))
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--bitrate", type=str, default="7M")
+    p.add_argument("--profile_dir", type=Path, default=None,
+                   help="capture a jax.profiler trace of the frame loop")
+    p.add_argument("--max_frames", type=int, default=None)
+    return p.parse_args()
+
+
+class VideoSink:
+    """ffmpeg pipe when available; PNG sequence fallback."""
+
+    def __init__(self, output: Path, fps: int, bitrate: str, size_hw):
+        self.output = output
+        output.parent.mkdir(parents=True, exist_ok=True)
+        self.ffmpeg = shutil.which("ffmpeg")
+        self.proc = None
+        self.frame_index = 0
+        if self.ffmpeg:
+            h, w = size_hw
+            self.proc = subprocess.Popen(
+                [
+                    self.ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                    "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+                    "-b:v", bitrate, "-pix_fmt", "yuv420p", str(output),
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        else:
+            log.warning("ffmpeg not found: writing PNG sequence next to %s", output)
+            self.frames_dir = output.with_suffix("")
+            self.frames_dir.mkdir(parents=True, exist_ok=True)
+
+    def write(self, frame01: np.ndarray) -> None:
+        from realtime_style_transfer_tpu.data.imaging import image_to_uint8
+
+        rgb = image_to_uint8(frame01)
+        if self.proc is not None:
+            self.proc.stdin.write(rgb.tobytes())
+        else:
+            import PIL.Image
+
+            PIL.Image.fromarray(rgb).save(
+                self.frames_dir / f"frame_{self.frame_index:06d}.png"
+            )
+        self.frame_index += 1
+
+    def close(self) -> None:
+        if self.proc is not None:
+            self.proc.stdin.close()
+            self.proc.wait()
+            log.info("wrote %s (%d frames)", self.output, self.frame_index)
+        else:
+            log.info("wrote %d frames to %s", self.frame_index, self.frames_dir)
+
+
+def main():
+    args = parse_args()
+    logsetup.setup()
+
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_style_transfer_tpu.data.hdr_screenshots import (
+        find_screenshots, iter_hdr_screenshots,
+    )
+    from realtime_style_transfer_tpu.data.imaging import list_image_paths, load_image
+    from realtime_style_transfer_tpu.data.pipeline import DevicePrefetcher
+    from realtime_style_transfer_tpu.tracing.profiler import FrameTimer, trace
+
+    config = cli.config_from_args(args, num_styles=1)
+    model, variables = cli.build_inference(config, dtype=cli.compute_dtype(args))
+    variables = cli.load_variables(args.checkpoint_path, variables)
+
+    # Style params once (reference :77-80), resident on device.
+    style = cli.load_styles([args.style], config)[None]
+    style_params = jax.jit(
+        lambda v, s: model.apply(v, s, method=model.predict_style_params)
+    )(variables, jnp.asarray(style))
+
+    stylize = jax.jit(lambda v, c, p: model.apply(v, c, p, method=model.stylize))
+
+    if config.hdr and config.total_channels > 3:
+        pngs = find_screenshots(args.frames_dir)
+        frames = iter_hdr_screenshots(pngs, config.channels, config.content_shape)
+    else:
+        paths = list_image_paths(args.frames_dir)
+        frames = (load_image(p, config.content_shape) for p in paths)
+
+    def batched_frames():
+        for i, frame in enumerate(frames):
+            if args.max_frames is not None and i >= args.max_frames:
+                return
+            yield frame[None]
+
+    sink = VideoSink(args.output, args.fps, args.bitrate, config.output_dimensions)
+    timer = FrameTimer()
+    with trace(str(args.profile_dir) if args.profile_dir else None):
+        # Prefetch overlaps decode + H2D with the transfer net (reference used
+        # .prefetch(5)); depth 3 keeps at most 3 frames in flight.
+        for content in DevicePrefetcher(batched_frames(), depth=3):
+            with timer.frame():
+                out = stylize(variables, content, style_params)
+                frame = np.asarray(jax.device_get(out))[0]
+            sink.write(frame)
+    sink.close()
+    stats = timer.percentiles()
+    log.info("frame latency: %s", {k: round(v, 3) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    main()
