@@ -6,11 +6,12 @@ precomputed once; each frame runs the jitted transfer net (rst-960-120-128-17,
 480x960x17 content in, 480x960x3 out, batch 1, bf16 compute).
 
 Measurement methodology: this host reaches the TPU through a tunnel where
-``block_until_ready`` does not reliably block and every dispatch pays a network
-round trip, so naive per-call timing is garbage.  Instead we run K frames inside ONE
-jitted ``lax.scan`` with a true data dependency between frames (stylized output fed
-back into the next frame's content) and fetch a single scalar — pure on-device
-throughput, one dispatch.
+``block_until_ready`` does not reliably block and every dispatch pays a ~30-250 ms
+network round trip, so naive per-call timing is garbage.  Instead we run K frames
+inside ONE jitted ``lax.scan`` with a true data dependency between frames (stylized
+output fed back into the next frame's content), fetch a single scalar, and fit the
+per-frame time as the SLOPE between two scan lengths — which cancels the fixed
+dispatch/fetch intercept.
 
 Prints ONE JSON line: frames/sec vs the reference's 50 FPS headline
 (``/root/reference/docs/index.md:7-11``; BASELINE.md).
@@ -25,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 50.0  # reference in-engine rate on an RTX-class GPU
-FRAMES_PER_SCAN = 20
-TRIALS = 5
+K_SHORT = 20
+K_LONG = 100
+TRIALS = 4
 
 
 def main() -> None:
@@ -54,29 +56,38 @@ def main() -> None:
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, style)
 
-    def frame_stream(variables, content, style_params):
-        def step(carry, _):
-            out = model.apply(variables, carry, style_params, method=model.stylize)
-            # Feed the stylized frame back into the content's RGB channels: a true
-            # inter-frame dependency so XLA cannot overlap/elide frames.
-            carry = jax.lax.dynamic_update_slice(
-                carry, out.astype(carry.dtype), (0, 0, 0, 0)
-            )
-            return carry, jnp.mean(out)
-        _, means = jax.lax.scan(step, content, None, length=FRAMES_PER_SCAN)
-        return jnp.sum(means)
+    def make_stream(k):
+        def frame_stream(variables, content, style_params):
+            def step(carry, _):
+                out = model.apply(
+                    variables, carry, style_params, method=model.stylize
+                )
+                # Feed the stylized frame back into the content's RGB channels: a
+                # true inter-frame dependency so XLA cannot overlap/elide frames.
+                carry = jax.lax.dynamic_update_slice(
+                    carry, out.astype(carry.dtype), (0, 0, 0, 0)
+                )
+                return carry, jnp.mean(out)
+            _, means = jax.lax.scan(step, content, None, length=k)
+            return jnp.sum(means)
 
-    stream = jax.jit(frame_stream)
-    float(jax.device_get(stream(variables, content, style_params)))  # compile+warm
+        stream = jax.jit(frame_stream)
+        float(jax.device_get(stream(variables, content, style_params)))  # warm
+        return stream
 
-    per_frame = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        float(jax.device_get(stream(variables, content, style_params)))
-        per_frame.append((time.perf_counter() - t0) / FRAMES_PER_SCAN)
+    def best_elapsed(stream):
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            float(jax.device_get(stream(variables, content, style_params)))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    per_frame.sort()
-    p50 = per_frame[len(per_frame) // 2]
+    short = make_stream(K_SHORT)
+    long = make_stream(K_LONG)
+    t_short = best_elapsed(short)
+    t_long = best_elapsed(long)
+    p50 = (t_long - t_short) / (K_LONG - K_SHORT)
     fps = 1.0 / p50
     print(
         json.dumps(
@@ -86,7 +97,7 @@ def main() -> None:
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "p50_frame_ms": round(p50 * 1e3, 3),
-                "frames_per_scan": FRAMES_PER_SCAN,
+                "scan_lengths": [K_SHORT, K_LONG],
                 "num_style_parameters": plan.num_style_parameters,
                 "device": str(jax.devices()[0]),
             }

@@ -101,9 +101,36 @@ class DummyLossExtractor(nn.Module):
         return {"content": {"dummy_conv2": out2}, "style": {"dummy_conv1": out1}}
 
 
+class EfficientNetLossExtractor(nn.Module):
+    """EfficientNetB3 residual-add taps (reference ``styleLoss.py:112-152``).
+
+    The reference's EfficientNet loss model leaves all loss factors at the base
+    class defaults (1.0) — kept here.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    factors: LossFactors = LossFactors(1.0, 1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, images01: jnp.ndarray) -> Dict[str, Dict[str, jnp.ndarray]]:
+        from .backbones import efficientnet as effnet
+
+        x = images01 * 2.0 - 1.0  # Rescaling(2, -1), styleLoss.py:151
+        _, taps = effnet.EfficientNetB3(
+            capture=effnet.STYLE_TAPS_B3 + effnet.CONTENT_TAPS_B3,
+            dtype=self.dtype,
+            name="efficientnetb3",
+        )(x, train=False)
+        return {
+            "content": {n: taps[n] for n in effnet.CONTENT_TAPS_B3},
+            "style": {n: taps[n] for n in effnet.STYLE_TAPS_B3},
+        }
+
+
 LOSS_EXTRACTORS = {
     "vgg": VGGLossExtractor,
     "mobilenet": MobileNetLossExtractor,
+    "efficientnet": EfficientNetLossExtractor,
     "dummy": DummyLossExtractor,
 }
 

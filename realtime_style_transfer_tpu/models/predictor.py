@@ -49,7 +49,7 @@ class StylePredictor(nn.Module):
             x = x * 2.0 - 1.0  # Rescaling(2, -1), stylePrediction.py:37
             x, _ = MobileNetV3Small(dtype=self.dtype, name="backbone")(x, train=train)
         elif self.feature_extractor == EFFICIENT_NET:
-            from .backbones.efficientnetv2 import EfficientNetV2S
+            from .backbones.efficientnet import EfficientNetV2S
 
             x = x * 2.0 - 1.0
             x, _ = EfficientNetV2S(dtype=self.dtype, name="backbone")(x, train=train)

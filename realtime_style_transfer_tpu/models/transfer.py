@@ -24,8 +24,10 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ..ops.conv import conv_same_s2d, conv_transpose_2x
 from ..ops.image_ops import style_weight_mips
 from ..ops.normalization import NUM_PARAMS_PER_FEATURE, cin_from_cursor
 from ..ops.style_params import StyleParamCursor, concat_implicit_weight
@@ -117,6 +119,86 @@ def style_param_count(
     ).num_style_parameters
 
 
+class FastConv(nn.Module):
+    """Drop-in stride-1 'SAME' Conv with output space-to-depth for small Cout.
+
+    Same param names/shapes as ``nn.Conv``; routes through ``conv_same_s2d`` when
+    the shape qualifies (odd kernel, even dims) — the 9x9 stem with 32 output
+    channels leaves 3/4 of the MXU lanes idle under the direct lowering.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if kh % 2 and kw % 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            y = conv_same_s2d(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        return (y + bias).astype(self.dtype)
+
+
+class FastConvTranspose(nn.Module):
+    """Drop-in ConvTranspose ('SAME') with an MXU-friendly stride-2 lowering.
+
+    Same param names/shapes as ``nn.ConvTranspose`` (kernel (kh, kw, I, O) + bias),
+    so checkpoints are interchangeable; stride-2 calls route through
+    ``ops.conv.conv_transpose_2x`` (dense parity-packed conv + depth-to-space)
+    instead of XLA's input-dilated conv, which wastes 3/4 of its MXU work on
+    structural zeros.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        kh, kw = self.kernel_size
+        if self.strides == (2, 2):
+            y = conv_transpose_2x(x, kernel)
+        elif (self.strides == (1, 1) and kh % 2 and kw % 2
+              and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # stride-1 'SAME' transpose conv (odd k) == plain conv; use the
+            # space-to-depth lowering (the final 9x9 16->3 layer is 60% of the
+            # frame under the direct lowering — 3/128 MXU lanes).
+            y = conv_same_s2d(x, kernel)
+        else:
+            y = jax.lax.conv_transpose(
+                x, kernel, self.strides, "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        return (y + bias).astype(self.dtype)
+
+
 class StyleTransferNet(nn.Module):
     """Encoder–decoder stylization net conditioned on a flat style vector.
 
@@ -164,15 +246,24 @@ class StyleTransferNet(nn.Module):
             CONTRACT_FILTER_SIZES[i] for i in range(plan.num_contract_blocks)
         ]
         for bi, (filters, kernel, stride) in enumerate(contract_schedule):
-            x = nn.Conv(
-                filters,
-                (kernel, kernel),
-                strides=(stride, stride),
-                padding="SAME",
-                kernel_init=conv_init,
-                dtype=self.dtype,
-                name=f"contract_{bi}_conv",
-            )(x)
+            if stride == 1:
+                x = FastConv(
+                    features=filters,
+                    kernel_size=(kernel, kernel),
+                    kernel_init=conv_init,
+                    dtype=self.dtype,
+                    name=f"contract_{bi}_conv",
+                )(x)
+            else:
+                x = nn.Conv(
+                    filters,
+                    (kernel, kernel),
+                    strides=(stride, stride),
+                    padding="SAME",
+                    kernel_init=conv_init,
+                    dtype=self.dtype,
+                    name=f"contract_{bi}_conv",
+                )(x)
             x = nn.relu(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -224,11 +315,10 @@ class StyleTransferNet(nn.Module):
         for ei, (filters, kernel, stride) in enumerate(plan.expand_blocks):
             is_last = ei == num_blocks - 1
             block_weights = pick_mip(x.shape[-2] * stride)
-            x = nn.ConvTranspose(
-                filters,
-                (kernel, kernel),
+            x = FastConvTranspose(
+                features=filters,
+                kernel_size=(kernel, kernel),
                 strides=(stride, stride),
-                padding="SAME",
                 kernel_init=conv_init,
                 dtype=self.dtype,
                 name=f"expand_{ei}_conv",
