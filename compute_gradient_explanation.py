@@ -18,6 +18,7 @@ from pathlib import Path
 import numpy as np
 
 from realtime_style_transfer_tpu import cli
+from realtime_style_transfer_tpu.models.losses import LOSS_EXTRACTORS
 from realtime_style_transfer_tpu.tracing import logsetup
 
 log = logging.getLogger("gradient_explanation")
@@ -29,7 +30,7 @@ def parse_args():
     p.add_argument("-C", "--checkpoint_path", type=Path, required=True)
     p.add_argument("--content_dir", type=Path, required=True)
     p.add_argument("--style_dir", type=Path, required=True)
-    p.add_argument("--loss", choices=["vgg", "mobilenet", "dummy"], default="vgg")
+    p.add_argument("--loss", choices=sorted(LOSS_EXTRACTORS), default="vgg")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_batches", type=int, default=8)
     p.add_argument("-o", "--output", type=Path, default=Path("out/grad_explanation"))

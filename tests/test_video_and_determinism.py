@@ -1,0 +1,105 @@
+"""Video streaming CLI test (PNG sink) + seed-determinism tests.
+
+Determinism tests fill a gap the reference left open (SURVEY §4: "no seed
+determinism tests").
+"""
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from tests.test_cli import SPEC, run_cli
+
+
+@pytest.fixture(scope="module")
+def frames_and_run(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    root = tmp_path_factory.mktemp("video")
+    content = root / "content"
+    style = root / "style"
+    for sub in ("training", "validation"):
+        (content / sub).mkdir(parents=True)
+        (style / sub).mkdir(parents=True)
+        for i in range(2):
+            for d in (content / sub, style / sub):
+                arr = (rng.random((70, 130, 3)) * 255).astype(np.uint8)
+                PIL.Image.fromarray(arr).save(d / f"{i}.png")
+    run = root / "run"
+    run_cli(
+        "train_network.py", "--network_spec", SPEC, "--sdr", "--loss", "dummy",
+        "--no_depth_loss", "--epochs", "1", "--batch_size", "2",
+        "--checkpoint_cadence", "1", "--log_dir", run,
+        "--content_dir", content, "--style_dir", style, "--dtype", "float32",
+    )
+    return root, run
+
+
+def test_predict_video_png_sink(frames_and_run, tmp_path):
+    root, run = frames_and_run
+    out = tmp_path / "video.mp4"
+    run_cli(
+        "predict_video_using_checkpoint.py",
+        "--network_spec", SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", root / "style" / "validation" / "0.png",
+        "--frames_dir", root / "content" / "validation",
+        "-o", out, "--max_frames", "2",
+    )
+    # no ffmpeg in this image -> PNG sequence sink
+    frames = sorted((tmp_path / "video").glob("frame_*.png"))
+    assert len(frames) == 2
+    img = np.asarray(PIL.Image.open(frames[0]))
+    assert img.shape == (60, 120, 3)
+
+
+def test_prediction_is_deterministic(frames_and_run, tmp_path):
+    root, run = frames_and_run
+    content = root / "content" / "validation" / "0.png"
+    style = root / "style" / "validation" / "0.png"
+    outs = []
+    for i in range(2):
+        out = tmp_path / f"o{i}.png"
+        run_cli(
+            "predict_using_checkpoint.py", "--network_spec", SPEC, "--sdr",
+            "--dtype", "float32", "-C", run, "-c", content, "-s", style, "-o", out,
+        )
+        outs.append(np.asarray(PIL.Image.open(out)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_different_styles_give_different_outputs(frames_and_run, tmp_path):
+    root, run = frames_and_run
+    content = root / "content" / "validation" / "0.png"
+    outs = []
+    for i in range(2):
+        out = tmp_path / f"s{i}.png"
+        run_cli(
+            "predict_using_checkpoint.py", "--network_spec", SPEC, "--sdr",
+            "--dtype", "float32", "-C", run, "-c", content,
+            "-s", root / "style" / "validation" / f"{i}.png", "-o", out,
+        )
+        outs.append(np.asarray(PIL.Image.open(out)).astype(np.int32))
+    assert np.abs(outs[0] - outs[1]).max() > 0
+
+
+def test_training_init_is_seed_deterministic():
+    import jax
+
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.models.training import (
+        make_style_transfer_training_model,
+    )
+
+    cfg = ShapeConfig(
+        resolution_divider=16, bottleneck_res_y=15, bottleneck_num_filters=4,
+        num_channels=3, hdr=False, feature_extractor="dummy",
+        with_depth_loss=False,
+    )
+    tm = make_style_transfer_training_model(cfg, loss_extractor="dummy")
+    s1 = tm.init_state(jax.random.PRNGKey(5))
+    s2 = tm.init_state(jax.random.PRNGKey(5))
+    s3 = tm.init_state(jax.random.PRNGKey(6))
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    flat3 = jax.tree.leaves(s3.params)
+    assert all(np.array_equal(a, b) for a, b in zip(flat1, flat2))
+    assert any(not np.array_equal(a, b) for a, b in zip(flat1, flat3))

@@ -16,6 +16,7 @@ import logging
 from pathlib import Path
 
 from realtime_style_transfer_tpu import cli
+from realtime_style_transfer_tpu.models.losses import LOSS_EXTRACTORS
 from realtime_style_transfer_tpu.tracing import logsetup
 
 log = logging.getLogger("train_network")
@@ -27,7 +28,7 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=300)  # reference regime
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-3)
-    p.add_argument("--loss", choices=["vgg", "mobilenet", "dummy"], default="vgg")
+    p.add_argument("--loss", choices=sorted(LOSS_EXTRACTORS), default="vgg")
     p.add_argument("--no_depth_loss", action="store_true")
     p.add_argument("--log_dir", type=Path, default=None)
     p.add_argument(
