@@ -27,10 +27,19 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv_same_s2d, conv_transpose_2x
+from ..ops.conv import conv_s2d, conv_transpose_2x
 from ..ops.image_ops import style_weight_mips
 from ..ops.normalization import NUM_PARAMS_PER_FEATURE, cin_from_cursor
 from ..ops.style_params import StyleParamCursor, concat_implicit_weight
+
+
+def _s2d_factor(features: int, stride: int, kernel: int, h: int, w: int) -> int:
+    """Largest output-packing factor that fills (but doesn't overflow) 128 lanes."""
+    for f in (4, 2):
+        if (features * f * f <= 128 and h % (stride * f) == 0
+                and w % (stride * f) == 0 and kernel >= stride):
+            return f
+    return 1
 
 # Filter schedules, reference styleTransfer.py:218-223 and :247-256.
 CONTRACT_FILTER_SIZES: Tuple[Tuple[int, int, int], ...] = (
@@ -120,21 +129,24 @@ def style_param_count(
 
 
 class FastConv(nn.Module):
-    """Drop-in stride-1 'SAME' Conv with output space-to-depth for small Cout.
+    """Drop-in 'SAME' Conv with output space-to-depth packing for small Cout.
 
-    Same param names/shapes as ``nn.Conv``; routes through ``conv_same_s2d`` when
-    the shape qualifies (odd kernel, even dims) — the 9x9 stem with 32 output
-    channels leaves 3/4 of the MXU lanes idle under the direct lowering.
+    Same param names/shapes as ``nn.Conv``; routes through ``ops.conv.conv_s2d``
+    when the shape qualifies (odd kernel, divisible dims, Cout*f^2 <= 128) — the
+    9x9 stem with 32 output channels leaves 3/4 of the MXU lanes idle under the
+    direct lowering, the 16-filter contract conv 7/8.
     """
 
     features: int
     kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
+        stride = self.strides[0]
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
             jnp.float32,
@@ -143,13 +155,16 @@ class FastConv(nn.Module):
                           jnp.float32)
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
-        if kh % 2 and kw % 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            y = conv_same_s2d(x, kernel)
+        factor = 1
+        if kh % 2 and kw % 2 and self.strides[0] == self.strides[1]:
+            factor = _s2d_factor(self.features, stride, min(kh, kw),
+                                 x.shape[1], x.shape[2])
+        if factor > 1:
+            y = conv_s2d(x, kernel, stride=stride, factor=factor)
         else:
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), "SAME",
+                x, kernel, self.strides, "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
         return (y + bias).astype(self.dtype)
 
@@ -182,19 +197,24 @@ class FastConvTranspose(nn.Module):
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         kh, kw = self.kernel_size
+        s2d = (self.strides == (1, 1) and kh % 2 and kw % 2
+               and _s2d_factor(self.features, 1, min(kh, kw),
+                               x.shape[1], x.shape[2]) > 1)
         if self.strides == (2, 2):
             y = conv_transpose_2x(x, kernel)
-        elif (self.strides == (1, 1) and kh % 2 and kw % 2
-              and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        elif s2d:
             # stride-1 'SAME' transpose conv (odd k) == plain conv; use the
             # space-to-depth lowering (the final 9x9 16->3 layer is 60% of the
             # frame under the direct lowering — 3/128 MXU lanes).
-            y = conv_same_s2d(x, kernel)
+            y = conv_s2d(
+                x, kernel, stride=1,
+                factor=_s2d_factor(self.features, 1, min(kh, kw),
+                                   x.shape[1], x.shape[2]),
+            )
         else:
             y = jax.lax.conv_transpose(
                 x, kernel, self.strides, "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
         return (y + bias).astype(self.dtype)
 
@@ -246,24 +266,14 @@ class StyleTransferNet(nn.Module):
             CONTRACT_FILTER_SIZES[i] for i in range(plan.num_contract_blocks)
         ]
         for bi, (filters, kernel, stride) in enumerate(contract_schedule):
-            if stride == 1:
-                x = FastConv(
-                    features=filters,
-                    kernel_size=(kernel, kernel),
-                    kernel_init=conv_init,
-                    dtype=self.dtype,
-                    name=f"contract_{bi}_conv",
-                )(x)
-            else:
-                x = nn.Conv(
-                    filters,
-                    (kernel, kernel),
-                    strides=(stride, stride),
-                    padding="SAME",
-                    kernel_init=conv_init,
-                    dtype=self.dtype,
-                    name=f"contract_{bi}_conv",
-                )(x)
+            x = FastConv(
+                features=filters,
+                kernel_size=(kernel, kernel),
+                strides=(stride, stride),
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                name=f"contract_{bi}_conv",
+            )(x)
             x = nn.relu(x)
             x = nn.BatchNorm(
                 use_running_average=not train,

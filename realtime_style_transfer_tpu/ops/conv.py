@@ -81,48 +81,64 @@ def pack_transpose_kernel(kernel: jnp.ndarray):
     return packed, (pad_y, pad_x)
 
 
-def conv_same_s2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
-                  preferred_element_type=jnp.float32) -> jnp.ndarray:
-    """Stride-1 'SAME' conv (NHWC, HWIO, odd k) via output space-to-depth.
+def conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
+             factor: int = 2,
+             preferred_element_type=None) -> jnp.ndarray:
+    """'SAME' conv (NHWC, HWIO, odd k >= stride) via output space-to-depth.
 
-    Tiny output-channel convs (the 9x9 stem 17->32 and the final 9x9 16->3) leave
-    almost all MXU lanes idle.  This computes the IDENTICAL result as a stride-2
-    convolution producing the 4 output parity classes as extra channels
-    (kernel (k+1, k+1, I, 4*O)) followed by depth-to-space: ~23% more MACs on a
-    9x9 kernel, but 4x the lanes — a large net win for small O.
+    Tiny output-channel convs (the 9x9 stem 17->32, the final 9x9 16->3, the
+    strided 3x3 contract convs with 16-32 filters) leave almost all MXU lanes
+    idle.  This computes the IDENTICAL result as a stride ``stride*factor``
+    convolution producing the ``factor^2`` output parity classes as extra
+    channels, followed by depth-to-space — ``factor^2`` x the lanes for a modest
+    MAC overhead of ``((k + stride*(factor-1)) / k)^2``.
 
-    Derivation: y[2i+d] = sum_t k[t] xp[2i + d + t] (xp padded by k//2); class d's
-    taps sit at positions d..d+k-1 of a common (k+1)-tap stride-2 window.
+    Derivation: SAME with stride s (dims divisible by s) pads (k-s)//2 before;
+    y[f*i + d] = sum_t k[t] xp[s*(f*i + d) + t], so class d's taps sit at offset
+    s*d of a common window of K' = k + s*(f-1) taps read with stride s*f.
     """
     b, h, w, _ = x.shape
     kh, kw, cin, cout = kernel.shape
+    s, f = stride, factor
     if kh % 2 == 0 or kw % 2 == 0:
-        raise ValueError("conv_same_s2d expects odd kernel sizes")
-    if h % 2 or w % 2:
-        raise ValueError("conv_same_s2d expects even spatial dims")
+        raise ValueError("conv_s2d expects odd kernel sizes")
+    if kh < s or kw < s:
+        raise ValueError("conv_s2d expects kernel >= stride")
+    if h % (s * f) or w % (s * f):
+        raise ValueError(f"spatial dims must divide stride*factor={s * f}")
+    out_h, out_w = h // s, w // s
 
-    packed = jnp.zeros((kh + 1, kw + 1, cin, 4 * cout), kernel.dtype)
-    for dy in range(2):
-        for dx in range(2):
-            cls = dy * 2 + dx
-            packed = packed.at[dy:dy + kh, dx:dx + kw, :,
+    kph, kpw = kh + s * (f - 1), kw + s * (f - 1)
+    packed = jnp.zeros((kph, kpw, cin, f * f * cout), kernel.dtype)
+    for dy in range(f):
+        for dx in range(f):
+            cls = dy * f + dx
+            packed = packed.at[s * dy:s * dy + kh, s * dx:s * dx + kw, :,
                                cls * cout:(cls + 1) * cout].set(kernel)
 
-    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2 + 1), (kw // 2, kw // 2 + 1),
-                     (0, 0)))
+    pb_y, pb_x = (kh - s) // 2, (kw - s) // 2
+    pa_y = (kh - s) - pb_y + s * (f - 1)
+    pa_x = (kw - s) - pb_x + s * (f - 1)
+    xp = jnp.pad(x, ((0, 0), (pb_y, pa_y), (pb_x, pa_x), (0, 0)))
     out = jax.lax.conv_general_dilated(
-        xp, packed, (2, 2), "VALID",
+        xp, packed, (s * f, s * f), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type,
     )
-    out = out[:, :h // 2, :w // 2, :]
-    out = out.reshape(b, h // 2, w // 2, 2, 2, cout)
+    out = out.reshape(b, out_h // f, out_w // f, f, f, cout)
     out = out.transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(b, h, w, cout)
+    return out.reshape(b, out_h, out_w, cout)
+
+
+def conv_same_s2d(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                  preferred_element_type=None) -> jnp.ndarray:
+    """Back-compat wrapper: stride-1, factor-2 :func:`conv_s2d`."""
+    return conv_s2d(x, kernel, stride=1, factor=2,
+                    preferred_element_type=preferred_element_type)
 
 
 def conv_transpose_2x(x: jnp.ndarray, kernel: jnp.ndarray, *,
-                      preferred_element_type=jnp.float32) -> jnp.ndarray:
+                      preferred_element_type=None) -> jnp.ndarray:
     """Stride-2 'SAME' transpose conv (NHWC x, HWIO kernel), dense lowering.
 
     Exactly matches ``lax.conv_transpose(x, kernel, (2, 2), 'SAME',

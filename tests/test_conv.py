@@ -5,7 +5,30 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from realtime_style_transfer_tpu.ops.conv import conv_same_s2d, conv_transpose_2x
+from realtime_style_transfer_tpu.ops.conv import (
+    conv_s2d,
+    conv_same_s2d,
+    conv_transpose_2x,
+)
+
+
+@pytest.mark.parametrize("k,stride,factor", [
+    (3, 1, 2), (9, 1, 2), (9, 1, 4), (3, 2, 2), (9, 2, 2), (5, 2, 4),
+])
+def test_conv_s2d_matches_lax(rng, k, stride, factor):
+    h, w, cin, cout = 16, 24, 4, 3
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+    )
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = conv_s2d(x, kernel, stride=stride, factor=factor)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("k", [3, 9])

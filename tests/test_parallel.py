@@ -1,0 +1,101 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh.
+
+Covers: mesh construction, DP training step (grad all-reduce via GSPMD), spatial
+activation sharding (conv halo exchange), distributed inference, and agreement
+between distributed and single-device results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_style_transfer_tpu.config import ShapeConfig
+from realtime_style_transfer_tpu.models.inference import (
+    make_inference_model,
+    plan_from_config,
+)
+from realtime_style_transfer_tpu.models.training import (
+    make_style_transfer_training_model,
+)
+from realtime_style_transfer_tpu.parallel import (
+    DistributedTrainer,
+    make_mesh,
+)
+from realtime_style_transfer_tpu.parallel.infer import DistributedStylizer
+
+TINY = ShapeConfig(
+    resolution_divider=16, bottleneck_res_y=15, bottleneck_num_filters=4,
+    num_channels=3, hdr=False, feature_extractor="dummy", with_depth_loss=False,
+)
+
+
+def _batch(cfg, batch_size, seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = {
+        name: rng.random((batch_size,) + shape, dtype=np.float32)
+        for name, shape in cfg.input_shape.items()
+    }
+    gt = {"content": inputs["content"][..., :3], "style": inputs["style"]}
+    return inputs, gt
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, spatial=2)
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+    mesh = make_mesh(8)
+    assert dict(mesh.shape) == {"data": 8, "spatial": 1}
+    with pytest.raises(ValueError):
+        make_mesh(8, spatial=3)
+
+
+def test_distributed_train_step_matches_single_device():
+    tm = make_style_transfer_training_model(TINY, loss_extractor="dummy")
+    batch = jax.tree.map(jnp.asarray, _batch(TINY, 8))
+
+    # single device
+    state0 = tm.init_state(jax.random.PRNGKey(0))
+    _, metrics_single = tm.jitted_train_step(donate=False)(state0, batch)
+
+    # 4-way DP x 2-way spatial
+    mesh = make_mesh(8, spatial=2)
+    trainer = DistributedTrainer(tm, mesh)
+    state1 = trainer.init_state(jax.random.PRNGKey(0))
+    sharded = trainer.shard_batch(batch)
+    state1b, metrics_dist = trainer.train_step(state1, sharded)
+
+    for key in metrics_single:
+        np.testing.assert_allclose(
+            float(metrics_single[key]), float(metrics_dist[key]),
+            rtol=2e-3, atol=1e-4,
+        )
+    # params updated identically (same data, same grads after all-reduce)
+    leaf_s = jax.tree.leaves(jax.device_get(
+        tm.jitted_train_step(donate=False)(state0, batch)[0].params))[0]
+    leaf_d = jax.tree.leaves(jax.device_get(state1b.params))[0]
+    np.testing.assert_allclose(np.asarray(leaf_s), np.asarray(leaf_d),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_distributed_stylizer_matches_single_device():
+    model = make_inference_model(TINY)
+    plan = plan_from_config(TINY)
+    inputs, _ = _batch(TINY, 8, seed=1)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.asarray(inputs["content"][:1]),
+        jnp.asarray(inputs["style"][:1]), train=False,
+    )
+
+    mesh = make_mesh(8, spatial=2)
+    stylizer = DistributedStylizer(model, variables, mesh)
+    style_params = stylizer.predict_style_params(jnp.asarray(inputs["style"]))
+    assert style_params.shape == (8, 1, plan.num_style_parameters)
+    out_dist = np.asarray(stylizer.stylize(
+        jnp.asarray(inputs["content"]), style_params))
+
+    out_single = np.asarray(model.apply(
+        variables, jnp.asarray(inputs["content"]), style_params,
+        method=model.stylize,
+    ))
+    assert out_dist.shape == (8, 60, 120, 3)
+    np.testing.assert_allclose(out_dist, out_single, rtol=2e-3, atol=2e-4)

@@ -49,6 +49,14 @@ def parse_args():
         help="device mesh as data[,spatial], e.g. '4,2'; default single device",
     )
     p.add_argument("--profile", action="store_true", help="jax.profiler trace")
+    p.add_argument(
+        "--debug_nans", action="store_true",
+        help="jax debug_nans mode (the reference's enable_check_numerics role)",
+    )
+    p.add_argument(
+        "--disable_jit", action="store_true",
+        help="eager execution for debugging (the reference's run_eagerly role)",
+    )
     return p.parse_args()
 
 
@@ -60,6 +68,11 @@ def main():
     logsetup.enable_logfile(log_dir)
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.disable_jit:
+        jax.config.update("jax_disable_jit", True)
 
     from realtime_style_transfer_tpu.data import wikiart
     from realtime_style_transfer_tpu.data.pipeline import get_single_sample
