@@ -174,6 +174,32 @@ def test_iter_hdr_screenshots_with_ground_truth(tmp_path):
     assert gt.shape == (16, 32, 3)
 
 
+def test_native_batch_loader_matches_per_file_path(tmp_path):
+    """gbuffer_batch_read (threaded C++) == the per-file read_exr stacking."""
+    from realtime_style_transfer_tpu.data.native import read_exr, read_gbuffer_planes
+
+    write_gbuffer_fixture(tmp_path, "s", CHANNELS_6, 20, 30, seed=5)
+    paths = [tmp_path / f"s_{name}.exr" for name, _ in CHANNELS_6]
+    counts = [n for _, n in CHANNELS_6]
+    batch = read_gbuffer_planes(paths, counts, 20, 30, num_threads=3)
+    assert batch.shape == (6, 20, 30)
+
+    per_file = []
+    for path, n in zip(paths, counts):
+        exr = read_exr(path)
+        per_file.extend([exr["R"], exr["G"], exr["B"]] if n == 3 else [exr["R"]])
+    np.testing.assert_array_equal(batch, np.stack(per_file))
+
+
+def test_native_batch_loader_dim_mismatch_raises(tmp_path):
+    from realtime_style_transfer_tpu.data.exr import write_exr
+    from realtime_style_transfer_tpu.data.native import ExrError, read_gbuffer_planes
+
+    write_exr(tmp_path / "a.exr", {"R": np.zeros((8, 8), np.float32)})
+    with pytest.raises(ExrError, match="expected"):
+        read_gbuffer_planes([tmp_path / "a.exr"], [1], 16, 16)
+
+
 # ---- tensor buffers ---------------------------------------------------------------
 
 

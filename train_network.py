@@ -121,6 +121,11 @@ def main():
             config, args.batch_size, **dataset_kwargs
         )
     log.info("dataset: %d training / %d validation samples", n_train, n_val)
+    if n_train == 0:
+        raise SystemExit(
+            "no training samples found — check --content_dir/--style_dir "
+            "(expected training/ and validation/ subdirectories)"
+        )
 
     mesh = None
     if args.mesh:
