@@ -52,9 +52,13 @@ class StyleTransferTrainingModel:
         with_depth_loss: Optional[bool] = None,
         dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = False,
+        remat: bool = False,
         optimizer: Optional[optax.GradientTransformation] = None,
         rng: Optional[jax.Array] = None,
     ):
+        """``remat=True`` rematerializes the forward under grad (jax.checkpoint):
+        trades ~1 extra forward pass for dropping all transfer-net activation
+        residuals — the HBM lever for large batches/resolutions."""
         self.config = config
         # Training always builds the single-style inference graph
         # (reference styleTransferTrainingModel.py:44-49).
@@ -66,6 +70,7 @@ class StyleTransferTrainingModel:
         self.model: StyleTransferInference = make_inference_model(
             train_config, dtype=dtype, use_pallas=use_pallas
         )
+        self.remat = remat
         self.with_depth_loss = (
             config.with_depth_loss if with_depth_loss is None else with_depth_loss
         )
@@ -129,9 +134,18 @@ class StyleTransferTrainingModel:
             kwargs["style_weights"] = inputs["style_weights"]
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
-            prediction, mutated = self.model.apply(
-                variables, inputs["content"], inputs["style"], train=True,
-                mutable=["batch_stats"], **kwargs,
+            def forward(variables, content, style, style_weights=None):
+                kw = {} if style_weights is None else {"style_weights": style_weights}
+                return self.model.apply(
+                    variables, content, style, train=True,
+                    mutable=["batch_stats"], **kw,
+                )
+
+            if self.remat:
+                forward = jax.checkpoint(forward)
+            prediction, mutated = forward(
+                variables, inputs["content"], inputs["style"],
+                kwargs.get("style_weights"),
             )
             new_batch_stats = mutated["batch_stats"]
         else:

@@ -120,3 +120,20 @@ def test_depth_loss_component_present():
     metrics = tm.jitted_eval_step()(state, batch)
     assert "depth_loss" in metrics
     assert np.isfinite(float(metrics["depth_loss"]))
+
+
+def test_remat_training_matches_standard():
+    """jax.checkpoint remat must not change the math, only the memory profile."""
+    tm_std = make_style_transfer_training_model(TINY, loss_extractor="dummy")
+    tm_rmt = make_style_transfer_training_model(
+        TINY, loss_extractor="dummy", remat=True
+    )
+    state_s = tm_std.init_state(jax.random.PRNGKey(0))
+    state_r = tm_rmt.init_state(jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, _batch(TINY))
+    _, m_s = tm_std.jitted_train_step(donate=False)(state_s, batch)
+    _, m_r = tm_rmt.jitted_train_step(donate=False)(state_r, batch)
+    for key in m_s:
+        np.testing.assert_allclose(
+            float(m_s[key]), float(m_r[key]), rtol=1e-5, atol=1e-6
+        )

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--loss", choices=sorted(LOSS_EXTRACTORS), default="vgg")
     p.add_argument("--no_depth_loss", action="store_true")
+    p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the forward under grad (less HBM, ~1 extra forward)",
+    )
     p.add_argument("--log_dir", type=Path, default=None)
     p.add_argument(
         "--continue_from", type=Path, default=None,
@@ -98,6 +102,7 @@ def main():
         loss_extractor=args.loss,
         with_depth_loss=not args.no_depth_loss and config.with_depth_loss,
         dtype=cli.compute_dtype(args),
+        remat=args.remat,
         optimizer=optax.rmsprop(args.learning_rate, decay=0.9, eps=1e-7),
     )
 
