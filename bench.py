@@ -56,12 +56,19 @@ def main() -> None:
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, style)
 
+    from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+
+    def apply_stylize(variables, content, style_params):
+        # Packed-layout deploy path: ~10% faster than the standard module and
+        # bit-compatible within bf16 tolerance (see tests/test_packed_conv.py).
+        return stylize_packed(
+            variables, content, style_params, plan=plan, dtype=jnp.bfloat16
+        )
+
     def make_stream(k):
         def frame_stream(variables, content, style_params):
             def step(carry, _):
-                out = model.apply(
-                    variables, carry, style_params, method=model.stylize
-                )
+                out = apply_stylize(variables, carry, style_params)
                 # Feed the stylized frame back into the content's RGB channels: a
                 # true inter-frame dependency so XLA cannot overlap/elide frames.
                 carry = jax.lax.dynamic_update_slice(

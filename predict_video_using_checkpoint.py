@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--profile_dir", type=Path, default=None,
                    help="capture a jax.profiler trace of the frame loop")
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument(
+        "--packed", action="store_true",
+        help="packed-layout deploy path (~10%% faster; 2-contract/2-expand "
+             "configs, single style only)",
+    )
     return p.parse_args()
 
 
@@ -115,7 +120,19 @@ def main():
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, jnp.asarray(style))
 
-    stylize = jax.jit(lambda v, c, p: model.apply(v, c, p, method=model.stylize))
+    if args.packed:
+        from realtime_style_transfer_tpu.models.inference import plan_from_config
+        from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+
+        plan = plan_from_config(config)
+        dtype = cli.compute_dtype(args)
+        stylize = jax.jit(
+            lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=dtype)
+        )
+    else:
+        stylize = jax.jit(
+            lambda v, c, p: model.apply(v, c, p, method=model.stylize)
+        )
 
     if config.hdr and config.total_channels > 3:
         pngs = find_screenshots(args.frames_dir)
@@ -131,6 +148,9 @@ def main():
             yield frame[None]
 
     sink = VideoSink(args.output, args.fps, args.bitrate, config.output_dimensions)
+    # Warm the compile cache so the first frame's latency is real, not compile.
+    warm = jnp.zeros((1,) + config.content_shape, jnp.float32)
+    jax.device_get(stylize(variables, warm, style_params))
     timer = FrameTimer()
     with trace(str(args.profile_dir) if args.profile_dir else None):
         # Prefetch overlaps decode + H2D with the transfer net (reference used
