@@ -109,12 +109,19 @@ def stylize_packed(
     ]
     for conv_name, bn_name, stride, fin, fout, cout in schedule:
         kernel, bias = conv_params(conv_name)
-        x = packed_conv(x, kernel, stride=stride, fin=fin, fout=fout,
-                        logical_cin=kernel.shape[2], backend=conv_backend)
-        x = x + jnp.tile(bias, fout * fout)
-        x = jax.nn.relu(x)
         eff_scale, eff_bias = _bn_affine(transfer_p[bn_name], transfer_s[bn_name])
-        x = _packed_affine_relu(x, eff_scale, eff_bias, fout, dtype)
+        if conv_backend == "pallas" and stride == 1 and fin == fout:
+            from ..ops.packed_conv import packed_conv_fused_contract
+
+            x = packed_conv_fused_contract(
+                x, kernel, bias, eff_scale, eff_bias, fin=fin, fout=fout
+            )
+        else:
+            x = packed_conv(x, kernel, stride=stride, fin=fin, fout=fout,
+                            logical_cin=kernel.shape[2], backend="xla")
+            x = x + jnp.tile(bias, fout * fout)
+            x = jax.nn.relu(x)
+            x = _packed_affine_relu(x, eff_scale, eff_bias, fout, dtype)
 
     # ---- residual core (dense; identical to the standard path) ----
     filters = plan.bottleneck_num_filters

@@ -149,6 +149,40 @@ def packed_conv(p: jnp.ndarray, kernel: jnp.ndarray, *, stride: int, fin: int,
     return out[:, :hp_out, :wp_out, :]
 
 
+def packed_conv_fused_contract(p: jnp.ndarray, kernel: jnp.ndarray,
+                               bias: jnp.ndarray, scale: jnp.ndarray,
+                               shift: jnp.ndarray, *, fin: int,
+                               fout: int) -> jnp.ndarray:
+    """Stride-1 packed conv with the contract-block tail fused in the Pallas
+    kernel: ``relu(relu(conv + bias) * scale + shift)``.
+
+    ``bias``/``scale``/``shift`` are per LOGICAL output channel; tiling across
+    the fout^2 parity groups happens here.  TPU backends only.
+    """
+    from .pallas.conv_matmul import conv_valid_matmul
+
+    b, hp, wp, _ = p.shape
+    hp_out, wp_out = hp * fin // fout, wp * fin // fout
+    pk, (lo_y, ph), (lo_x, pw), s_packed = packed_conv_kernel(
+        kernel, stride=1, fin=fin, fout=fout
+    )
+    if s_packed != 1:
+        raise ValueError("fused contract path requires packed stride 1")
+    pb_y, pa_y = _pads(lo_y, ph, 1, hp, hp_out)
+    pb_x, pa_x = _pads(lo_x, pw, 1, wp, wp_out)
+    pp = jnp.pad(p, ((0, 0), (pb_y, pa_y), (pb_x, pa_x), (0, 0)))
+    ff = fout * fout
+    out = jnp.stack([
+        conv_valid_matmul(
+            pp[i], pk,
+            bias=jnp.tile(bias, ff), scale=jnp.tile(scale, ff),
+            shift=jnp.tile(shift, ff), epilogue="contract",
+        )
+        for i in range(b)
+    ])
+    return out[:, :hp_out, :wp_out, :]
+
+
 def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
                              fin: int, fout: int) -> jnp.ndarray:
     """Stride-2 'SAME' transpose conv on packed tensors.

@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-tile VMEM budget (input tile + acc + double buffer) — v5e scoped limit 16MB
-TILE_BUDGET_BYTES = 3 * 1024 * 1024
+# per-tile VMEM budget (input tile + acc + double buffer + matmul temporaries)
+# — v5e scoped limit 16MB; 3MB tiles measured 329KB over with the fused epilogue
+TILE_BUDGET_BYTES = 2 * 1024 * 1024
 
 
 def _pick_tile(h: int, wp: int, cin: int, kh: int, itemsize: int) -> int:
@@ -31,8 +32,8 @@ def _pick_tile(h: int, wp: int, cin: int, kh: int, itemsize: int) -> int:
     return 1
 
 
-def _kernel(x_hbm, k_ref, o_ref, scratch, sem, *, th, w, kh, kw, cin, cout,
-            num_tiles):
+def _kernel(x_hbm, k_ref, bias_ref, scale_ref, shift_ref, o_ref, scratch, sem,
+            *, th, w, kh, kw, cin, cout, num_tiles, epilogue):
     # cin is the LOGICAL channel count; scratch/x carry DMA-aligned padding that
     # the compute slices away (padding channels would double the tap-matmul K).
     i = pl.program_id(0)
@@ -65,17 +66,34 @@ def _kernel(x_hbm, k_ref, o_ref, scratch, sem, *, th, w, kh, kw, cin, cout,
             )
             acc += jnp.dot(patch, k_ref[dy, dx],
                            preferred_element_type=jnp.float32)
+    if epilogue == "contract":
+        # the contract-block tail: +bias -> relu -> BN affine -> relu
+        acc = jnp.maximum(acc + bias_ref[0], 0.0)
+        acc = jnp.maximum(acc * scale_ref[0] + shift_ref[0], 0.0)
+    elif epilogue == "bias":
+        acc = acc + bias_ref[0]
     o_ref[...] = acc.reshape(th, w, cout).astype(o_ref.dtype)
 
 
-def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                      bias: jnp.ndarray = None, scale: jnp.ndarray = None,
+                      shift: jnp.ndarray = None,
+                      epilogue: str = "none") -> jnp.ndarray:
     """VALID stride-1 conv ((Hp, Wp, Cin) x (kh, kw, Cin, Cout)) via tap matmuls.
 
     Input is the pre-padded single image (no batch dim); output
     (Hp-kh+1, Wp-kw+1, Cout) in x.dtype.
+
+    ``epilogue='contract'`` fuses the contract-block tail in VMEM
+    (``relu(relu(conv + bias) * scale + shift)``) — this is what lets the kernel
+    beat XLA in-net, since a bare custom call forfeits XLA's epilogue fusion.
     """
     hp, wp, cin = x.shape
     kh, kw, _, cout = kernel.shape
+    zeros = jnp.zeros((1, cout), jnp.float32)
+    bias = zeros if bias is None else bias.reshape(1, cout).astype(jnp.float32)
+    scale = zeros if scale is None else scale.reshape(1, cout).astype(jnp.float32)
+    shift = zeros if shift is None else shift.reshape(1, cout).astype(jnp.float32)
     h, w = hp - kh + 1, wp - kw + 1
     # Mosaic manual-DMA slices need tile-aligned shapes: sublane (W) dim to 8,
     # lane (C) dim to 128. Dead columns/channels are zero and only multiply into
@@ -92,8 +110,10 @@ def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
     f = functools.partial(
         _kernel, th=th, w=w, kh=kh, kw=kw, cin=cin, cout=cout,
-        num_tiles=num_tiles,
+        num_tiles=num_tiles, epilogue=epilogue,
     )
+    param_spec = pl.BlockSpec((1, cout), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         f,
         grid=(num_tiles,),
@@ -101,6 +121,7 @@ def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            param_spec, param_spec, param_spec,
         ],
         out_specs=pl.BlockSpec((th, w, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -114,7 +135,7 @@ def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
             bytes_accessed=(hp * wp * cin + h * w * cout) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, kernel)
+    )(x, kernel, bias, scale, shift)
 
 
 def conv_same_batched(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

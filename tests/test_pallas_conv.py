@@ -44,3 +44,20 @@ def test_conv_same_batched_matches_lax(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv_valid_matmul_fused_contract_epilogue(rng):
+    x = jnp.asarray(rng.standard_normal((10, 12, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    scale = jnp.asarray((rng.random(6) + 0.5).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_valid_matmul(x, kernel, bias=bias, scale=scale, shift=shift,
+                                epilogue="contract")
+    conv = jax.lax.conv_general_dilated(
+        x[None], kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    want = jnp.maximum(jnp.maximum(conv + bias, 0.0) * scale + shift, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
