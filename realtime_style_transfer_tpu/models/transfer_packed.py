@@ -23,8 +23,6 @@ equivalence with ``StyleTransferNet.apply`` is asserted by
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -118,7 +116,7 @@ def stylize_packed(
             )
         else:
             x = packed_conv(x, kernel, stride=stride, fin=fin, fout=fout,
-                            logical_cin=kernel.shape[2], backend="xla")
+                            backend="xla")
             x = x + jnp.tile(bias, fout * fout)
             x = jax.nn.relu(x)
             x = _packed_affine_relu(x, eff_scale, eff_bias, fout, dtype)
@@ -171,8 +169,7 @@ def stylize_packed(
     ))
 
     kernel, bias = conv_params("expand_2_conv")
-    x = packed_conv(x, kernel, stride=1, fin=4, fout=4,
-                    logical_cin=kernel.shape[2], backend=conv_backend)
+    x = packed_conv(x, kernel, stride=1, fin=4, fout=4, backend=conv_backend)
     x = x + jnp.tile(bias, 16)
     s = cursor.take(fin_filters)
     bc = cursor.take(fin_filters)
@@ -184,6 +181,4 @@ def stylize_packed(
     x = jax.nn.sigmoid(x)
 
     cursor.assert_consumed()
-    b = x.shape[0]
-    h, w = plan.output_shape[0], plan.output_shape[1]
     return unpack(x, 4, fin_filters).astype(jnp.float32)

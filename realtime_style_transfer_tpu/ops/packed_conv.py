@@ -115,8 +115,7 @@ def _pads(lo: int, extent: int, s_packed: int, hp_in: int, hp_out: int):
 
 
 def packed_conv(p: jnp.ndarray, kernel: jnp.ndarray, *, stride: int, fin: int,
-                fout: int, logical_cin: int,
-                backend: str = "xla") -> jnp.ndarray:
+                fout: int, backend: str = "xla") -> jnp.ndarray:
     """Logical SAME conv applied to a packed tensor, producing a packed tensor.
 
     ``p``: (B, Hl/fin, Wl/fin, fin^2*Cin); result: (B, Ho/fout, Wo/fout,
@@ -247,7 +246,7 @@ def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
     # Run as a logical s1 conv with output packing fo; output channels are then
     # (gy, gx, (dy, dx, c)) and the true layout for factor fout = 2*fo is
     # (gy, dy, gx, dx, c) -> reorder.
-    out = packed_conv(p, merged, stride=1, fin=fin, fout=fo, logical_cin=cin)
+    out = packed_conv(p, merged, stride=1, fin=fin, fout=fo)
     b, hp, wp, _ = out.shape
     out = out.reshape(b, hp, wp, fo, fo, 2, 2, cout)
     out = out.transpose(0, 1, 2, 3, 5, 4, 6, 7)

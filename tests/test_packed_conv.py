@@ -37,8 +37,7 @@ def test_packed_conv_matches_logical(rng, k, s, fin, fout):
     want = jax.lax.conv_general_dilated(
         x, kernel, (s, s), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
-    got_packed = packed_conv(pack(x, fin), kernel, stride=s, fin=fin, fout=fout,
-                             logical_cin=cin)
+    got_packed = packed_conv(pack(x, fin), kernel, stride=s, fin=fin, fout=fout)
     got = unpack(got_packed, fout, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
