@@ -120,3 +120,30 @@ def test_describe_and_table(rng):
     assert set(d) == {"mean", "var", "min", "max", "count"}
     table = comparison_table({"a": a})
     assert "mean" in table and "a" in table
+
+
+def test_renderers_predict_datapoint(tmp_path):
+    import jax
+
+    from realtime_style_transfer_tpu import renderers
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.models.training import (
+        make_style_transfer_training_model,
+    )
+
+    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+                      bottleneck_num_filters=4, num_channels=3, hdr=False,
+                      feature_extractor="dummy", with_depth_loss=False)
+    tm = make_style_transfer_training_model(cfg, loss_extractor="dummy")
+    state = tm.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    inputs = {name: rng.random((1,) + shape, dtype=np.float32)
+              for name, shape in cfg.input_shape.items()}
+    gt = {"content": inputs["content"][..., :3], "style": inputs["style"]}
+    out = tmp_path / "figure.png"
+    renderers.predict_datapoint(tm, state, (inputs, gt), (inputs, gt),
+                                save_path=out)
+    assert out.exists() and out.stat().st_size > 0
+
+    img = renderers.tensor_to_image(np.zeros((4, 6, 3), np.float32))
+    assert img.size == (6, 4)
