@@ -67,7 +67,13 @@ class ShapeConfig:
     resolution_divider: int = 2
     num_channels: int = 18
     feature_extractor: str = DEFAULT_FEATURE_EXTRACTOR
-    with_depth_loss: bool = True
+    # The reference defaults the depth loss ON (shape_config.py:30) because it
+    # ships real MiDaS weights via TF Hub.  This image cannot bundle those, and a
+    # random-init depth net would inject a random supervision signal into default
+    # training runs — so the default is OFF until a pretrained MidasLite
+    # checkpoint is supplied (tools/pretrain_depth.py trains one from the
+    # dataset's own SceneDepth G-buffer; pass it via --depth_checkpoint).
+    with_depth_loss: bool = False
 
     # ---- derived properties -------------------------------------------------
 

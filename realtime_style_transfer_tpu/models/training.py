@@ -50,6 +50,7 @@ class StyleTransferTrainingModel:
         *,
         loss_extractor: str = "vgg",
         with_depth_loss: Optional[bool] = None,
+        depth_variables: Optional[Any] = None,
         dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = False,
         remat: bool = False,
@@ -91,8 +92,22 @@ class StyleTransferTrainingModel:
         depth_loss_fn = None
         if self.with_depth_loss:
             self.depth_module = MidasLite(dtype=dtype)
-            dummy_depth = jnp.zeros((1, 384, 384, 3), jnp.float32)
-            self.depth_variables = jax.jit(self.depth_module.init)(depth_rng, dummy_depth)
+            if depth_variables is not None:
+                # Pretrained MidasLite (tools/pretrain_depth.py) — the supported
+                # path; random init is only meaningful for shape/plumbing tests.
+                self.depth_variables = depth_variables
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "depth loss enabled WITHOUT pretrained weights: the depth "
+                    "term is a random signal (pass depth_variables / "
+                    "--depth_checkpoint; see tools/pretrain_depth.py)"
+                )
+                dummy_depth = jnp.zeros((1, 384, 384, 3), jnp.float32)
+                self.depth_variables = jax.jit(self.depth_module.init)(
+                    depth_rng, dummy_depth
+                )
             depth_apply = lambda imgs: self.depth_module.apply(self.depth_variables, imgs)
             depth_loss_fn = make_depth_loss_fn(depth_apply)
         else:

@@ -8,11 +8,15 @@ Keeps the reference's callback taxonomy (SURVEY §5: ``SummaryImageCallback``,
 
 Differences from the reference, by design:
 
-* image summaries land as PNGs under ``<log_dir>/images/`` (no TensorBoard here)
-  and the ``prediction_time`` scalar is measured end-start (the reference logged
-  ``start - end``, a sign bug — ``tf_image_callback.py:31``)
-* histogram/gradient summaries are JSONL stats (mean/var/min/max + counts) per
-  layer, produced by pure jitted reductions — no host-side layer traversal
+* image summaries land as PNGs under ``<log_dir>/images/`` AND as TensorBoard
+  image events; the ``prediction_time`` scalar is measured end-start (the
+  reference logged ``start - end``, a sign bug — ``tf_image_callback.py:31``)
+* histogram/gradient summaries carry real bucket payloads (JSONL + TensorBoard
+  histo events) plus mean/var scalars, produced by pure jitted reductions — no
+  host-side layer traversal
+* gradient stats are taken through the TRAINING graph (BatchNorm in batch-stats
+  form), matching the reference's GradientTape over the fit graph
+  (``gradients.py:18-36``)
 """
 
 from __future__ import annotations
@@ -100,27 +104,46 @@ class SummaryImageCallback(Callback):
             start = time.perf_counter()
             prediction = jax.device_get(self.tm.predict(state, inputs))
             elapsed = time.perf_counter() - start  # end - start: sign bug fixed
-            tensor_to_image(prediction[0]).save(
-                self.dir / f"{subset}_prediction_{epoch:05d}.png"
-            )
+            image = tensor_to_image(prediction[0])
+            path = self.dir / f"{subset}_prediction_{epoch:05d}.png"
+            image.save(path)
             if self.writer is not None:
                 self.writer.write_scalar(f"{subset}/prediction_time", elapsed, epoch)
+                self.writer.write_image_png(
+                    f"{subset}/prediction", path.read_bytes(),
+                    image.height, image.width, epoch,
+                )
 
 
-def _tree_stats(tree) -> Dict[str, Dict[str, float]]:
-    """Per-leaf summary stats, computed in one jitted pass."""
+NUM_HISTOGRAM_BINS = 30
+
+
+def _tree_stats(tree, *, histogram: bool = False) -> Dict[str, Dict[str, Any]]:
+    """Per-leaf summary stats (+ optional fixed-bin histograms), one jitted pass."""
 
     @jax.jit
     def stats(tree):
-        return jax.tree.map(
-            lambda x: {
-                "mean": jnp.mean(x).astype(jnp.float32),
-                "var": jnp.var(x).astype(jnp.float32),
-                "min": jnp.min(x).astype(jnp.float32),
-                "max": jnp.max(x).astype(jnp.float32),
-            },
-            tree,
-        )
+        def leaf(x):
+            x = x.astype(jnp.float32)
+            out = {
+                "mean": jnp.mean(x),
+                "var": jnp.var(x),
+                "min": jnp.min(x),
+                "max": jnp.max(x),
+                "sum": jnp.sum(x),
+                "sum_squares": jnp.sum(jnp.square(x)),
+            }
+            if histogram:
+                lo, hi = out["min"], out["max"]
+                # Degenerate (constant) leaves still get one populated bucket.
+                hi = jnp.where(hi > lo, hi, lo + 1.0)
+                edges = lo + (hi - lo) * jnp.linspace(0.0, 1.0,
+                                                      NUM_HISTOGRAM_BINS + 1)
+                out["bucket"], _ = jnp.histogram(x.reshape(-1), bins=edges)
+                out["bucket_limit"] = edges[1:]
+            return out
+
+        return jax.tree.map(leaf, tree)
 
     flat = {}
     computed = jax.device_get(stats(tree))
@@ -128,12 +151,28 @@ def _tree_stats(tree) -> Dict[str, Dict[str, float]]:
         computed, is_leaf=lambda x: isinstance(x, dict) and "mean" in x
     )[0]:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        flat[name] = {k: float(v) for k, v in leaf_stats.items()}
+        flat[name] = leaf_stats
     return flat
 
 
+def _write_tree_summaries(writer: MetricsWriter, prefix: str, tree, epoch: int,
+                          *, histogram: bool) -> None:
+    for name, s in _tree_stats(tree, histogram=histogram).items():
+        writer.write_scalar(f"{prefix}/{name}/mean", float(s["mean"]), epoch)
+        writer.write_scalar(f"{prefix}/{name}/var", float(s["var"]), epoch)
+        if histogram:
+            writer.write_histogram(
+                f"{prefix}/{name}",
+                bucket_limits=np.asarray(s["bucket_limit"]).tolist(),
+                buckets=np.asarray(s["bucket"]).astype(np.float64).tolist(),
+                minimum=float(s["min"]), maximum=float(s["max"]),
+                total=float(s["sum"]), sum_squares=float(s["sum_squares"]),
+                step=epoch,
+            )
+
+
 class HistogramCallback(Callback):
-    """Per-layer weight stats each epoch (reference histogram.py:9-42 role)."""
+    """Per-layer weight histograms each epoch (reference histogram.py:9-42)."""
 
     def __init__(self, writer: MetricsWriter, every: int = 1):
         self.writer = writer
@@ -142,13 +181,17 @@ class HistogramCallback(Callback):
     def on_epoch_end(self, epoch, state, logs) -> None:
         if epoch % self.every:
             return
-        for name, s in _tree_stats(state.params).items():
-            self.writer.write_scalar(f"weights/{name}/mean", s["mean"], epoch)
-            self.writer.write_scalar(f"weights/{name}/var", s["var"], epoch)
+        _write_tree_summaries(self.writer, "weights", state.params, epoch,
+                              histogram=True)
 
 
 class GradientsCallback(Callback):
-    """Gradient stats on a pinned datapoint (reference gradients.py:18-36 role)."""
+    """Gradient stats on a pinned datapoint (reference gradients.py:18-36).
+
+    The gradient is taken through the TRAINING graph (``train=True``: BatchNorm
+    in batch-stats form), matching the reference's GradientTape over the graph
+    ``fit`` optimizes — not the inference graph.
+    """
 
     def __init__(self, writer: MetricsWriter, training_model, pinned_batch,
                  every: int = 1):
@@ -164,12 +207,11 @@ class GradientsCallback(Callback):
         if self._grad_fn is None:
             def grads_of(params, batch_stats, batch):
                 loss_fn = lambda p: self.tm.loss_and_metrics(
-                    p, batch_stats, batch, train=False
+                    p, batch_stats, batch, train=True
                 )[0]
                 return jax.grad(loss_fn)(params)
 
             self._grad_fn = jax.jit(grads_of)
         grads = self._grad_fn(state.params, state.batch_stats, self.batch)
-        for name, s in _tree_stats(grads).items():
-            self.writer.write_scalar(f"gradients/{name}/mean", s["mean"], epoch)
-            self.writer.write_scalar(f"gradients/{name}/var", s["var"], epoch)
+        _write_tree_summaries(self.writer, "gradients", grads, epoch,
+                              histogram=True)

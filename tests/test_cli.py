@@ -15,6 +15,8 @@ import numpy as np
 import PIL.Image
 import pytest
 
+pytestmark = pytest.mark.cli  # subprocess-heavy: excluded from the default run
+
 REPO = Path(__file__).resolve().parent.parent
 SPEC = "rst-120-15-4-3"  # 60x120 frames, tiny bottleneck: fast CPU compiles
 

@@ -8,6 +8,8 @@ from realtime_style_transfer_tpu.config import ShapeConfig
 from realtime_style_transfer_tpu.data.exr import write_gbuffer_fixture
 from tests.test_cli import run_cli
 
+pytestmark = pytest.mark.cli  # subprocess-heavy: excluded from the default run
+
 HDR_SPEC = "rst-120-15-4-6"  # 60x120, 6 channels: FinalImage + BaseColor
 
 

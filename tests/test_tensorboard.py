@@ -1,0 +1,132 @@
+"""TensorBoard event-file writer: wire-format round trips + MetricsWriter sink.
+
+Covers the reference's TensorBoard observability backbone (SURVEY §5:
+``tracing/metrics.py:12-22`` scalars, ``tracing/histogram.py:9-42`` histograms,
+``tracing/tf_image_callback.py:13-34`` images) re-implemented without TF.
+"""
+
+import json
+import struct
+
+import numpy as np
+
+from realtime_style_transfer_tpu.tracing.metrics import MetricsWriter, read_metrics
+from realtime_style_transfer_tpu.tracing.tensorboard import (
+    EventFileWriter,
+    _masked_crc,
+    crc32c,
+    read_events,
+)
+
+
+def _event_file(log_dir):
+    files = sorted(log_dir.glob("events.out.tfevents.*"))
+    assert len(files) == 1, files
+    return files[0]
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 zero bytes -> 0x8a9136aa
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+    # TFRecord masking is invertible modulo 2^32 (sanity of the constant)
+    assert _masked_crc(b"") != crc32c(b"")
+
+
+def test_scalar_round_trip(tmp_path):
+    w = EventFileWriter(tmp_path)
+    w.add_scalar("training/loss", 0.5, 1)
+    w.add_scalar("validation/loss", 0.25, 2)
+    w.close()
+    events = read_events(_event_file(tmp_path))
+    assert events[0] == {"kind": "file_version", "value": "brain.Event:2"}
+    scalars = [e for e in events if e.get("kind") == "scalar"]
+    assert [(e["tag"], e["step"]) for e in scalars] == [
+        ("training/loss", 1), ("validation/loss", 2)
+    ]
+    np.testing.assert_allclose(scalars[0]["value"], 0.5)
+    np.testing.assert_allclose(scalars[1]["value"], 0.25)
+
+
+def test_histogram_round_trip(tmp_path):
+    w = EventFileWriter(tmp_path)
+    limits = [0.0, 0.5, 1.0]
+    buckets = [3.0, 4.0, 5.0]
+    w.add_histogram_raw(
+        "weights/conv/kernel", 7, minimum=-1.0, maximum=1.0, num=12.0,
+        total=2.5, sum_squares=4.0, bucket_limits=limits, buckets=buckets,
+    )
+    w.close()
+    events = read_events(_event_file(tmp_path))
+    histo = [e for e in events if e.get("kind") == "histogram"][0]
+    assert histo["tag"] == "weights/conv/kernel"
+    assert histo["step"] == 7
+    payload = histo["value"]
+    assert payload["min"] == -1.0 and payload["max"] == 1.0
+    assert payload["num"] == 12.0 and payload["sum"] == 2.5
+    assert payload["bucket_limit"] == limits
+    assert payload["bucket"] == buckets
+
+
+def test_image_round_trip(tmp_path):
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.fromarray(np.zeros((4, 6, 3), np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+    w = EventFileWriter(tmp_path)
+    w.add_image_png("validation/prediction", png, 4, 6, 3)
+    w.close()
+    events = read_events(_event_file(tmp_path))
+    image = [e for e in events if e.get("kind") == "image"][0]
+    assert image["value"]["height"] == 4 and image["value"]["width"] == 6
+    restored = PIL.Image.open(io.BytesIO(image["value"]["png"]))
+    assert restored.size == (6, 4)
+
+
+def test_tfrecord_framing_crcs(tmp_path):
+    """Every record must carry valid masked CRCs (what TensorBoard checks)."""
+    w = EventFileWriter(tmp_path)
+    w.add_scalar("a", 1.0, 0)
+    w.close()
+    raw = _event_file(tmp_path).read_bytes()
+    pos = 0
+    records = 0
+    while pos < len(raw):
+        (length,) = struct.unpack("<Q", raw[pos:pos + 8])
+        assert struct.unpack("<I", raw[pos + 8:pos + 12])[0] == _masked_crc(
+            raw[pos:pos + 8]
+        )
+        data = raw[pos + 12:pos + 12 + length]
+        assert struct.unpack(
+            "<I", raw[pos + 12 + length:pos + 16 + length]
+        )[0] == _masked_crc(data)
+        pos += 16 + length
+        records += 1
+    assert records == 2  # version record + scalar
+
+
+def test_metrics_writer_dual_sink(tmp_path):
+    w = MetricsWriter(tmp_path)
+    w.write_split_scalars({"loss": 1.0, "val_loss": 2.0}, 0)
+    w.write_histogram(
+        "weights/k", bucket_limits=[0.0, 1.0], buckets=[2.0, 3.0],
+        minimum=0.0, maximum=1.0, total=2.0, sum_squares=1.5, step=0,
+    )
+    w.close()
+    # JSONL sink
+    tags = read_metrics(tmp_path)
+    assert tags["training/loss"] == [(0, 1.0)]
+    assert tags["validation/loss"] == [(0, 2.0)]
+    hist_lines = [
+        json.loads(line)
+        for line in (tmp_path / "metrics.jsonl").read_text().splitlines()
+        if "histogram" in json.loads(line)
+    ]
+    assert hist_lines[0]["histogram"]["bucket"] == [2.0, 3.0]
+    # TensorBoard sink
+    events = read_events(_event_file(tmp_path))
+    kinds = {e.get("kind") for e in events}
+    assert {"scalar", "histogram"} <= kinds

@@ -82,6 +82,30 @@ def test_fit_with_all_callbacks_and_resume(tmp_path, training_model):
     assert any(t.startswith("gradients/") for t in tags)
     assert any(t.endswith("prediction_time") for t in tags)
 
+    # real histogram payloads (not just mean/var) for weights AND gradients
+    import json
+
+    hist_tags = set()
+    with open(tmp_path / "metrics.jsonl") as f:
+        for line in f:
+            ev = json.loads(line)
+            if "histogram" in ev:
+                h = ev["histogram"]
+                assert len(h["bucket"]) == len(h["bucket_limit"]) > 1
+                assert sum(h["bucket"]) == h["num"] > 0
+                hist_tags.add(ev["tag"])
+    assert any(t.startswith("weights/") for t in hist_tags)
+    assert any(t.startswith("gradients/") for t in hist_tags)
+
+    # TensorBoard event file mirrors the stream
+    from realtime_style_transfer_tpu.tracing.tensorboard import read_events
+
+    event_files = sorted(tmp_path.glob("events.out.tfevents.*"))
+    assert event_files
+    events = read_events(event_files[0])
+    kinds = {e.get("kind") for e in events}
+    assert {"scalar", "histogram", "image"} <= kinds
+
     # image summaries on disk
     images = list((tmp_path / "images").glob("*.png"))
     assert any("prediction_00001" in p.name for p in images)

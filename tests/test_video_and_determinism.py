@@ -34,6 +34,7 @@ def frames_and_run(tmp_path_factory):
     return root, run
 
 
+@pytest.mark.cli
 def test_predict_video_png_sink(frames_and_run, tmp_path):
     root, run = frames_and_run
     out = tmp_path / "video.mp4"
@@ -51,6 +52,7 @@ def test_predict_video_png_sink(frames_and_run, tmp_path):
     assert img.shape == (60, 120, 3)
 
 
+@pytest.mark.cli
 def test_prediction_is_deterministic(frames_and_run, tmp_path):
     root, run = frames_and_run
     content = root / "content" / "validation" / "0.png"
@@ -66,6 +68,7 @@ def test_prediction_is_deterministic(frames_and_run, tmp_path):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+@pytest.mark.cli
 def test_different_styles_give_different_outputs(frames_and_run, tmp_path):
     root, run = frames_and_run
     content = root / "content" / "validation" / "0.png"

@@ -1,25 +1,61 @@
 #!/usr/bin/env python
-"""Convert pretrained Keras backbone weights into this framework's param pytrees.
+"""Convert pretrained Keras weights into this framework's param pytrees.
 
 This zero-egress image bundles no ImageNet weights; run step 1 wherever TF exists,
-then step 2 here.
+then step 2 here.  All layout math (identity HWIO for Conv2D, depthwise transpose,
+spatial-flip + I/O-swap for Conv2DTranspose) is proven offline against numpy
+oracles of the TF op semantics in ``tests/test_weight_conversion.py`` — no TF
+needed to trust the conversion.
 
-Step 1 (machine with tensorflow): dump a backbone to npz ::
+Step 1 (machine with tensorflow) — dump a BACKBONE to npz ::
 
     import numpy as np, tensorflow as tf
     m = tf.keras.applications.VGG16(include_top=False, weights="imagenet")
     np.savez("vgg16_imagenet.npz",
              **{w.name: w.numpy() for layer in m.layers for w in layer.weights})
 
+or dump a trained reference TRANSFER NET (``create_style_transfer_model`` from
+``/root/reference/realtime_style_transfer/models/styleTransfer.py:213``) using the
+canonical key grammar this converter consumes (the reference builds contract
+blocks as sub-models named ``start, 0, 1, ...`` with conv layer ``{name}_conv`` +
+one BatchNormalization, residual sub-models ``0..4`` with ``{name}_conv{i}``, and
+expand sub-models ``0, 1, ..., last`` with Conv2DTranspose ``{name}_conv``) ::
+
+    import numpy as np
+    out = {}
+    contract_names = ["start"] + [str(i) for i in range(num_contract)]
+    expand_names = [str(i) for i in range(num_expand)] + ["last"]
+    for ci, name in enumerate(contract_names):
+        sub = transfer_model.get_layer(name)
+        conv = sub.get_layer(f"{name}_conv")
+        bn = next(l for l in sub.layers
+                  if isinstance(l, tf.keras.layers.BatchNormalization))
+        out[f"contract_{ci}_conv/kernel"], out[f"contract_{ci}_conv/bias"] = (
+            w.numpy() for w in conv.weights)
+        for w, k in zip(bn.weights,
+                        ["gamma", "beta", "moving_mean", "moving_variance"]):
+            out[f"contract_{ci}_bn/{k}"] = w.numpy()
+    for ri in range(5):
+        sub = transfer_model.get_layer(str(ri))
+        for ci in range(2):
+            conv = sub.get_layer(f"{ri}_conv{ci}")
+            out[f"residual_{ri}_conv{ci}/kernel"] = conv.weights[0].numpy()
+            out[f"residual_{ri}_conv{ci}/bias"] = conv.weights[1].numpy()
+    for ei, name in enumerate(expand_names):
+        conv = transfer_model.get_layer(name).get_layer(f"{name}_conv")
+        out[f"expand_{ei}_conv/kernel"] = conv.weights[0].numpy()
+        out[f"expand_{ei}_conv/bias"] = conv.weights[1].numpy()
+    np.savez("transfer_keras.npz", **out)
+
 Step 2 (here): ::
 
     python tools/convert_keras_weights.py vgg16 vgg16_imagenet.npz out/vgg16_params
+    python tools/convert_keras_weights.py transfer transfer_keras.npz out/transfer
 
-The output is an Orbax checkpoint of the flax params for
-``models.backbones.vgg.VGG16Features`` (caffe preprocessing is applied by the loss
-module, not baked into weights).  MobileNetV3-Small conversion: same flow with the
-``mobilenetv3`` converter (kernel layouts are identical HWIO; BN moving stats map to
-flax ``batch_stats``).
+The output is an Orbax checkpoint of the flax variables (for
+``models.backbones.vgg.VGG16Features`` / ``models.backbones.mobilenetv3.
+MobileNetV3Small`` / ``models.transfer.StyleTransferNet``; caffe preprocessing is
+applied by the loss module, not baked into weights).
 """
 
 from __future__ import annotations
@@ -113,7 +149,59 @@ def convert_mobilenetv3(npz) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
-CONVERTERS = {"vgg16": convert_vgg16, "mobilenetv3": convert_mobilenetv3}
+def convert_conv_transpose_kernel(k_tf: np.ndarray) -> np.ndarray:
+    """Keras ``Conv2DTranspose`` kernel -> ``FastConvTranspose``/``nn.ConvTranspose``.
+
+    Keras stores ``(kh, kw, out, in)`` and computes the *gradient* form of the
+    transpose conv (``jax.lax.conv_transpose(..., transpose_kernel=True)``
+    semantics).  Our modules store ``(kh, kw, in, out)`` and call
+    ``lax.conv_transpose(..., transpose_kernel=False)``, whose kernel enters the
+    underlying dilated conv un-flipped — so the conversion is a spatial 180°
+    flip plus the I/O swap.  Proven against a numpy oracle of the TF op in
+    ``tests/test_weight_conversion.py``.
+    """
+    if k_tf.ndim != 4:
+        raise ValueError(f"expected rank-4 kernel, got {k_tf.shape}")
+    return np.ascontiguousarray(np.transpose(k_tf[::-1, ::-1], (0, 1, 3, 2)))
+
+
+def convert_transfer(npz) -> dict:
+    """Canonical transfer-net dump (see module docstring) -> StyleTransferNet.
+
+    Conv2D kernels map identically (HWIO both sides); BatchNorm
+    gamma/beta/moving_* map to flax scale/bias + batch_stats mean/var
+    (``styleTransfer.py:201`` vs ``models.transfer`` ``contract_{i}_bn``);
+    Conv2DTranspose kernels go through :func:`convert_conv_transpose_kernel`
+    (``styleTransfer.py:115-119`` vs ``FastConvTranspose``).
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    for key in npz.files:
+        layer, leaf = key.rsplit("/", 1)
+        value = np.asarray(npz[key])
+        if layer.endswith("_bn"):
+            if leaf == "gamma":
+                params.setdefault(layer, {})["scale"] = value
+            elif leaf == "beta":
+                params.setdefault(layer, {})["bias"] = value
+            elif leaf == "moving_mean":
+                batch_stats.setdefault(layer, {})["mean"] = value
+            elif leaf == "moving_variance":
+                batch_stats.setdefault(layer, {})["var"] = value
+            else:
+                raise SystemExit(f"unknown BN leaf {key}")
+            continue
+        if leaf == "kernel" and layer.startswith("expand_"):
+            value = convert_conv_transpose_kernel(value)
+        params.setdefault(layer, {})[leaf] = value
+    return {"params": params, "batch_stats": batch_stats}
+
+
+CONVERTERS = {
+    "vgg16": convert_vgg16,
+    "mobilenetv3": convert_mobilenetv3,
+    "transfer": convert_transfer,
+}
 
 
 def main():

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Pretrain MidasLite on the dataset's SceneDepth G-buffer (depth-loss weights).
+
+The reference's depth loss uses TF-Hub MiDaS v2
+(``/root/reference/realtime_style_transfer/models/styleLoss.py:250-287``); this
+image cannot bundle that binary, so the depth net trains on the corpus's own
+ground truth instead::
+
+    python tools/pretrain_depth.py \
+        --content_dir data/screenshots --output out/depth_ckpt \
+        --epochs 20 --batch_size 4
+
+then enable the depth term with ``train_network.py --depth_loss
+--depth_checkpoint out/depth_ckpt``.  Validate visually with
+``depth_analysis.py --depth_weights out/depth_ckpt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from realtime_style_transfer_tpu.depth_pretrain import (  # noqa: E402
+    pretrain,
+    save_depth_checkpoint,
+)
+from realtime_style_transfer_tpu.tracing import logsetup  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--content_dir", type=Path, required=True,
+                   help="dir with training/ and validation/ screenshot subdirs "
+                        "(X.png + X_SceneDepth.exr siblings)")
+    p.add_argument("--output", type=Path, required=True,
+                   help="orbax checkpoint dir for the trained MidasLite")
+    p.add_argument("--resolution", type=int, default=384)
+    p.add_argument("--base_filters", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    logsetup.setup()
+
+    import os
+
+    if os.environ.get("RST_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["RST_PLATFORM"])
+
+    from realtime_style_transfer_tpu.data.imaging import list_image_paths
+
+    train_paths = list_image_paths(args.content_dir / "training")
+    val_paths = list_image_paths(args.content_dir / "validation")
+    variables, history = pretrain(
+        train_paths, val_paths,
+        resolution=args.resolution, base_filters=args.base_filters,
+        epochs=args.epochs, batch_size=args.batch_size,
+        learning_rate=args.learning_rate, seed=args.seed,
+    )
+    save_depth_checkpoint(variables, args.output)
+    print(
+        f"saved {args.output}; val correlation "
+        f"{history['initial_val_correlation']:.4f} -> "
+        f"{history['val_correlation'][-1]:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,15 @@ def parse_args():
     p.add_argument("--loss", choices=sorted(LOSS_EXTRACTORS), default="vgg")
     p.add_argument("--no_depth_loss", action="store_true")
     p.add_argument(
+        "--depth_loss", action="store_true",
+        help="enable the depth-aware loss term (supply --depth_checkpoint)",
+    )
+    p.add_argument(
+        "--depth_checkpoint", type=Path, default=None,
+        help="pretrained MidasLite checkpoint (tools/pretrain_depth.py); "
+             "implies --depth_loss",
+    )
+    p.add_argument(
         "--remat", action="store_true",
         help="rematerialize the forward under grad (less HBM, ~1 extra forward)",
     )
@@ -97,10 +106,20 @@ def main():
 
     import optax
 
+    depth_variables = None
+    if args.depth_checkpoint is not None:
+        from realtime_style_transfer_tpu.depth_pretrain import load_depth_checkpoint
+
+        depth_variables = load_depth_checkpoint(args.depth_checkpoint)
+    with_depth = (
+        config.with_depth_loss or args.depth_loss
+        or args.depth_checkpoint is not None
+    ) and not args.no_depth_loss
     tm = make_style_transfer_training_model(
         config,
         loss_extractor=args.loss,
-        with_depth_loss=not args.no_depth_loss and config.with_depth_loss,
+        with_depth_loss=with_depth,
+        depth_variables=depth_variables,
         dtype=cli.compute_dtype(args),
         remat=args.remat,
         optimizer=optax.rmsprop(args.learning_rate, decay=0.9, eps=1e-7),
