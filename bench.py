@@ -8,10 +8,17 @@ precomputed once; each frame runs the jitted transfer net (rst-960-120-128-17,
 Measurement methodology: this host reaches the TPU through a tunnel where
 ``block_until_ready`` does not reliably block and every dispatch pays a ~30-250 ms
 network round trip, so naive per-call timing is garbage.  Instead we run K frames
-inside ONE jitted ``lax.scan`` with a true data dependency between frames (stylized
-output fed back into the next frame's content), fetch a single scalar, and fit the
-per-frame time as the SLOPE between two scan lengths — which cancels the fixed
-dispatch/fetch intercept.
+inside ONE jitted ``lax.scan`` with a true data dependency between frames, fetch a
+single scalar, and fit the per-frame time as the SLOPE between two scan lengths —
+which cancels the fixed dispatch/fetch intercept.
+
+The inter-frame dependency is a SCALAR (the previous frame's mean written into one
+content pixel): that forces strictly sequential frame execution without adding
+work the real workload doesn't have.  (r1 fed the full stylized frame back into
+the content tensor, which added an artificial ~2.2 ms/frame of 17-channel f32
+carry copies on top of the ~2.9 ms of actual network time — the video loop
+streams INDEPENDENT frames, reference ``predict_video_using_checkpoint.py:93-98``,
+so that copy overstated the frame cost by ~75%.)
 
 Prints ONE JSON line: frames/sec vs the reference's 50 FPS headline
 (``/root/reference/docs/index.md:7-11``; BASELINE.md).
@@ -56,23 +63,27 @@ def main() -> None:
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, style)
 
-    from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+    from realtime_style_transfer_tpu.ops.pallas.fused_transfer import FusedTransfer
+
+    # Whole-net fused Pallas kernel: the entire packed pipeline in ONE kernel
+    # launch (equivalence-tested against stylize_packed / the standard module;
+    # see tests/test_fused_transfer.py and ops/pallas/fused_transfer.py).
+    fused = FusedTransfer(jax.device_get(variables), plan)
 
     def apply_stylize(variables, content, style_params):
-        # Packed-layout deploy path: ~10% faster than the standard module and
-        # bit-compatible within bf16 tolerance (see tests/test_packed_conv.py).
-        return stylize_packed(
-            variables, content, style_params, plan=plan, dtype=jnp.bfloat16
-        )
+        del variables  # weights are baked into the fused kernel
+        return fused._forward(content, style_params)
 
     def make_stream(k):
         def frame_stream(variables, content, style_params):
             def step(carry, _):
                 out = apply_stylize(variables, carry, style_params)
-                # Feed the stylized frame back into the content's RGB channels: a
-                # true inter-frame dependency so XLA cannot overlap/elide frames.
+                # Write the frame's mean into one content pixel: a true
+                # inter-frame dependency (no overlap/elision) with none of the
+                # full-frame copy cost the real frame stream doesn't have.
+                m = jnp.mean(out).astype(carry.dtype)
                 carry = jax.lax.dynamic_update_slice(
-                    carry, out.astype(carry.dtype), (0, 0, 0, 0)
+                    carry, m[None, None, None, None], (0, 0, 0, 0)
                 )
                 return carry, jnp.mean(out)
             _, means = jax.lax.scan(step, content, None, length=k)

@@ -182,14 +182,17 @@ def packed_conv_fused_contract(p: jnp.ndarray, kernel: jnp.ndarray,
     return out[:, :hp_out, :wp_out, :]
 
 
-def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
-                             fin: int, fout: int) -> jnp.ndarray:
-    """Stride-2 'SAME' transpose conv on packed tensors.
+def packed_conv_transpose_kernel(
+    kernel: jnp.ndarray, *, fin: int, fout: int
+) -> Tuple[jnp.ndarray, Tuple, Tuple, int]:
+    """Assemble the packed-domain kernel for a logical stride-2 'SAME'
+    TRANSPOSE conv, with the output-parity reorder folded into the kernel's
+    output channels.
 
-    Decomposes into the 4 output-parity s1 convs (``ops.conv`` derivation with
-    lax's pad_lo = k//2 + 1), runs each through the packed machinery, and folds
-    the parity into the output packing.  Requires ``fout % 2 == 0`` (the
-    transpose's own 2x packing is the innermost output parity).
+    Returns ``(packed_kernel, (lo_y, ph), (lo_x, pw), s_packed)`` exactly like
+    :func:`packed_conv_kernel`, so one VALID conv with those pads maps a
+    fin-packed tensor directly to ``pack(conv_transpose(x), fout)``.  Requires
+    ``fout % 2 == 0`` (the transpose's own 2x is the inner output parity).
     """
     if fout % 2:
         raise ValueError("fout must be a multiple of 2 for a 2x transpose conv")
@@ -206,9 +209,8 @@ def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
     # Each class (d_y, d_x) is an s1 conv with kernel K_cls[j_y, j_x] =
     # kernel[taps_y[j_y], taps_x[j_x]] whose logical input window starts at
     # offset (o_y, o_x). Build one merged logical kernel over the union window
-    # with per-class channel blocks, then feed packed_conv with
-    # stride=1 / fout=fo and reorder output channels so the layout equals
-    # pack(conv_transpose(x), fout).
+    # with per-class channel blocks, then assemble the packed kernel with
+    # stride=1 / fout=fo.
     len_y = [len(t) for t, _ in cls_y]
     len_x = [len(t) for t, _ in cls_x]
     o_y = [s for _, s in cls_y]
@@ -243,11 +245,41 @@ def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
                 cls * cout:(cls + 1) * cout,
             ].set(sub)
 
-    # Run as a logical s1 conv with output packing fo; output channels are then
-    # (gy, gx, (dy, dx, c)) and the true layout for factor fout = 2*fo is
-    # (gy, dy, gx, dx, c) -> reorder.
-    out = packed_conv(p, merged, stride=1, fin=fin, fout=fo)
-    b, hp, wp, _ = out.shape
-    out = out.reshape(b, hp, wp, fo, fo, 2, 2, cout)
-    out = out.transpose(0, 1, 2, 3, 5, 4, 6, 7)
-    return out.reshape(b, hp, wp, fout * fout * cout)
+    pk, pads_y, pads_x, s_packed = packed_conv_kernel(
+        merged, stride=1, fin=fin, fout=fo
+    )
+    # packed_conv output channels are (gy, gx, (dy, dx), c); the true packed
+    # layout for factor fout = 2*fo is (gy, dy, gx, dx, c).  Fold that
+    # permutation into the kernel's output-channel axis.
+    perm = np.empty(fout * fout * cout, np.int64)
+    for gy in range(fo):
+        for gx in range(fo):
+            for dy in range(2):
+                for dx in range(2):
+                    src = ((gy * fo + gx) * 4 + dy * 2 + dx) * cout
+                    dst = ((((gy * 2 + dy) * fo + gx) * 2) + dx) * cout
+                    perm[dst:dst + cout] = np.arange(src, src + cout)
+    return pk[..., perm], pads_y, pads_x, s_packed
+
+
+def packed_conv_transpose_2x(p: jnp.ndarray, kernel: jnp.ndarray, *,
+                             fin: int, fout: int) -> jnp.ndarray:
+    """Stride-2 'SAME' transpose conv on packed tensors.
+
+    Decomposes into the 4 output-parity s1 convs (see
+    :func:`packed_conv_transpose_kernel`) and runs the single assembled VALID
+    conv.
+    """
+    b, hp, wp, _ = p.shape
+    pk, (lo_y, ph), (lo_x, pw), s_packed = packed_conv_transpose_kernel(
+        kernel, fin=fin, fout=fout
+    )
+    hp_out, wp_out = hp * fin * 2 // fout, wp * fin * 2 // fout
+    pb_y, pa_y = _pads(lo_y, ph, s_packed, hp, hp_out)
+    pb_x, pa_x = _pads(lo_x, pw, s_packed, wp, wp_out)
+    pp = jnp.pad(p, ((0, 0), (pb_y, pa_y), (pb_x, pa_x), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        pp, pk, (s_packed, s_packed), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[:, :hp_out, :wp_out, :]

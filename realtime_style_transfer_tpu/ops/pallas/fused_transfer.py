@@ -1,0 +1,659 @@
+"""The whole packed transfer net as ONE Pallas TPU kernel (deploy/latency path).
+
+r1 finding (ROADMAP "r1 Pallas findings"): single-op Pallas kernels lose in-net
+because every custom call breaks XLA's producer/consumer fusion and layout
+propagation.  The conclusion was that a profitable kernel must swallow a
+multi-layer chain so the boundary cost amortizes — this module is that kernel,
+taken to its limit: the ENTIRE inference pipeline of the flagship family
+(reference ``styleTransfer.py:213-332``) runs inside one ``pallas_call``.
+
+Key design choice: the content is space-to-depth packed at factor 4, which
+makes EVERY convolution stride-1 in packed space on one uniform (H/4, W/4)
+grid (stem fin4->fout4, contract1 fin4->fout2, contract2 fin2->fout1 — the
+``s*fout/fin`` stride rule of ``ops.packed_conv``; the transposes and the
+final 9x9 are stride-1 by construction).  Every stage is then the same band
+loop: DMA a row band (+halo) from HBM, apply the previous layer's CIN affine /
+relu / residual-skip on the fly, run the tap matmuls on the MXU, fuse the
+epilogue (bias / BN-affine / relu), accumulate CIN moments, and DMA the band
+out.  Activations ping-pong between two HBM scratch buffers held as kernel
+outputs; CIN affines are derived in-kernel from the accumulated moments (with
+a group-combine matmul for packed parity groups), so there is exactly ONE
+kernel launch per frame and XLA sees a single opaque op.
+
+Correctness: exact-equivalence (bf16 tolerance) with ``stylize_packed`` /
+``StyleTransferNet.apply`` is asserted in ``tests/test_fused_transfer.py``
+(interpret mode on CPU; the real chip is covered by bench + a TPU parity
+check).  Restrictions: batch 1 per call, 2-contract/2-expand plans (the
+flagship family), single style.  Other shapes fall back to ``stylize_packed``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.transfer import (
+    CONTRACT_FILTER_SIZES,
+    NUM_RESIDUAL_BLOCKS,
+    STEM_FILTERS,
+    TransferPlan,
+)
+from ..conv import _axis_classes
+from ..packed_conv import _axis_plan
+
+LANE = 128
+CIN_EPS = 1e-5
+ACT_C = 512  # channel width of the HBM activation ping-pong buffers
+STATS_C = 256  # max packed channel count of any CIN layer
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host-side packed-kernel assembly (numpy twins of ops.packed_conv — those run
+# under jit on traced values; weight prep here is one-time concrete numpy).
+# ---------------------------------------------------------------------------
+
+
+def _np_packed_kernel(kernel: np.ndarray, *, stride: int, fin: int, fout: int):
+    """numpy ``ops.packed_conv.packed_conv_kernel`` (equality unit-tested)."""
+    kh, kw, cin, cout = kernel.shape
+    offs_y, lo_y, ph, s_y = _axis_plan(kh, stride, fin, fout)
+    offs_x, lo_x, pw, _ = _axis_plan(kw, stride, fin, fout)
+    packed = np.zeros((ph, pw, fin * fin * cin, fout * fout * cout),
+                      kernel.dtype)
+    for dy in range(fout):
+        for dx in range(fout):
+            ob = (dy * fout + dx) * cout
+            for ey in range(fin):
+                for ex in range(fin):
+                    ib = (ey * fin + ex) * cin
+                    for off_y, ty in offs_y[(dy, ey)]:
+                        for off_x, tx in offs_x[(dx, ex)]:
+                            packed[off_y - lo_y, off_x - lo_x,
+                                   ib:ib + cin, ob:ob + cout] = kernel[ty, tx]
+    return packed, (lo_y, ph), (lo_x, pw), s_y
+
+
+def _np_transpose_kernel(kernel: np.ndarray, *, fin: int, fout: int):
+    """numpy ``ops.packed_conv.packed_conv_transpose_kernel``."""
+    kh, kw, cin, cout = kernel.shape
+    fo = fout // 2
+    cls_y = _axis_classes(kh)
+    cls_x = _axis_classes(kw)
+    len_y = [len(t) for t, _ in cls_y]
+    len_x = [len(t) for t, _ in cls_x]
+    o_y = [s for _, s in cls_y]
+    o_x = [s for _, s in cls_x]
+    lo_y = min(o_y)
+    lo_x = min(o_x)
+    ext_y = max(o_y[d] + len_y[d] - 1 for d in range(2)) - lo_y + 1
+    ext_x = max(o_x[d] + len_x[d] - 1 for d in range(2)) - lo_x + 1
+    kk_y = max(ext_y, 2 * (-lo_y) + 1)
+    kk_x = max(ext_x, 2 * (-lo_x) + 1)
+    kk_y += 1 - kk_y % 2
+    kk_x += 1 - kk_x % 2
+    pb_y, pb_x = (kk_y - 1) // 2, (kk_x - 1) // 2
+    merged = np.zeros((kk_y, kk_x, cin, 4 * cout), kernel.dtype)
+    for dy in range(2):
+        taps_y, start_y = cls_y[dy]
+        for dx in range(2):
+            taps_x, start_x = cls_x[dx]
+            if not taps_y or not taps_x:
+                continue
+            sub = kernel[taps_y[0]::2, taps_x[0]::2]
+            cls = dy * 2 + dx
+            merged[start_y + pb_y:start_y + pb_y + len(taps_y),
+                   start_x + pb_x:start_x + pb_x + len(taps_x), :,
+                   cls * cout:(cls + 1) * cout] = sub
+    pk, pads_y, pads_x, s_packed = _np_packed_kernel(
+        merged, stride=1, fin=fin, fout=fo)
+    perm = np.empty(fout * fout * cout, np.int64)
+    for gy in range(fo):
+        for gx in range(fo):
+            for dy in range(2):
+                for dx in range(2):
+                    src = ((gy * fo + gx) * 4 + dy * 2 + dx) * cout
+                    dst = ((((gy * 2 + dy) * fo + gx) * 2) + dx) * cout
+                    perm[dst:dst + cout] = np.arange(src, src + cout)
+    return pk[..., perm], pads_y, pads_x, s_packed
+
+
+def _pad_kernel(pk: np.ndarray) -> np.ndarray:
+    """Zero-pad the packed kernel's channel dims to lane multiples."""
+    ph, pw, cin, cout = pk.shape
+    out = np.zeros((ph, pw, _round_up(cin, LANE), _round_up(cout, LANE)),
+                   np.float32)
+    out[:, :, :cin, :cout] = pk
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Static stage schedule
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _Stage:
+    name: str
+    kind: str                      # 'conv' | 'pointwise'
+    src: str                       # 'content' | 'actA' | 'actB'
+    dst: str                       # 'actA' | 'actB' | 'out'
+    cin: int = 0                   # padded packed input channels
+    cout: int = 0                  # padded packed output channels
+    lo_y: int = 0
+    ph: int = 1
+    lo_x: int = 0
+    pw: int = 1
+    # input transform (consumer side of the previous layer's CIN):
+    in_affine: bool = False
+    in_relu: bool = False
+    skip_in: Optional[str] = None  # 'skipA' | 'skipB'
+    skip_out: Optional[str] = None
+    # epilogue on the f32 accumulator:
+    epi: str = "none"              # 'contract' | 'relu' | 'bias' | 'sigmoid'
+    # CIN stats of THIS stage's output:
+    stats: bool = False
+    style_slot: int = -1           # row in the style table
+    group: Optional[str] = None    # None | 'e0' | 'e1' | 'fin'
+    n_per_channel: int = 0
+    c_packed: int = 0              # real (unpadded) packed channel count
+
+
+class FusedTransfer:
+    """One-kernel packed inference for a fixed plan + variables (batch 1)."""
+
+    def __init__(self, variables, plan: TransferPlan, *,
+                 cin_epsilon: float = CIN_EPS, interpret: bool = False):
+        if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
+            raise ValueError("fused kernel supports the 2-contract/2-expand "
+                             "(flagship) family; use stylize_packed otherwise")
+        self.plan = plan
+        self.eps = float(cin_epsilon)
+        self.interpret = interpret
+        h, w, self._c_in = plan.input_shape
+        self.hp, self.wp = h // 4, w // 4
+        if self.wp % 8:
+            raise ValueError(f"packed width {self.wp} must be a multiple of 8")
+        self.th = max(t for t in (8, 4, 2, 1) if self.hp % t == 0 and t <= 8)
+        if self.hp // self.th < 2:
+            raise ValueError("need at least 2 row bands")
+        self._build(variables)
+
+    # ---- host-side weight prep ------------------------------------------
+
+    def _build(self, variables) -> None:
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        params = params.get("transfer", params)
+        stats = stats.get("transfer", stats)
+        plan = self.plan
+        filters = plan.bottleneck_num_filters
+        hp, wp = self.hp, self.wp
+        n_px = hp * wp
+
+        def conv_np(name):
+            return (np.asarray(params[name]["kernel"], np.float32),
+                    np.asarray(params[name]["bias"], np.float32))
+
+        def bn_affine(name):
+            inv = 1.0 / np.sqrt(
+                np.asarray(stats[name]["var"], np.float32) + 1e-3)
+            scale = np.asarray(params[name]["scale"], np.float32) * inv
+            bias = (np.asarray(params[name]["bias"], np.float32)
+                    - np.asarray(stats[name]["mean"], np.float32) * scale)
+            return scale, bias
+
+        kernels: List[np.ndarray] = []
+        stages: List[_Stage] = []
+        biases: List[np.ndarray] = []
+        contract_rows: List[np.ndarray] = []
+
+        def add_conv(name, pk_meta, *, src, dst, bias, **kw):
+            pk, (lo_y, ph_e), (lo_x, pw_e), s = pk_meta
+            assert s == 1, (name, s)
+            pkp = _pad_kernel(pk)
+            kernels.append(pkp)
+            b = np.zeros(ACT_C, np.float32)
+            b[:bias.size] = bias
+            biases.append(b)
+            stages.append(_Stage(
+                name=name, kind="conv", src=src, dst=dst,
+                cin=pkp.shape[2], cout=pkp.shape[3],
+                lo_y=lo_y, ph=ph_e, lo_x=lo_x, pw=pw_e, **kw,
+            ))
+
+        # --- contract stack (fin4 scheme: everything stride-1, (hp, wp)) ---
+        k, b = conv_np("contract_0_conv")
+        s_bn, b_bn = bn_affine("contract_0_bn")
+        add_conv("stem", _np_packed_kernel(k, stride=1, fin=4, fout=4),
+                 src="content", dst="actA", bias=np.tile(b, 16), epi="contract")
+        row = np.zeros((2, ACT_C), np.float32)
+        row[0, :16 * STEM_FILTERS] = np.tile(s_bn, 16)
+        row[1, :16 * STEM_FILTERS] = np.tile(b_bn, 16)
+        contract_rows.append(row)
+
+        k, b = conv_np("contract_1_conv")
+        s_bn, b_bn = bn_affine("contract_1_bn")
+        c1_out = CONTRACT_FILTER_SIZES[0][0]
+        add_conv("c1", _np_packed_kernel(k, stride=2, fin=4, fout=2),
+                 src="actA", dst="actB", bias=np.tile(b, 4), epi="contract")
+        row = np.zeros((2, ACT_C), np.float32)
+        row[0, :4 * c1_out] = np.tile(s_bn, 4)
+        row[1, :4 * c1_out] = np.tile(b_bn, 4)
+        contract_rows.append(row)
+
+        k, b = conv_np("contract_2_conv")
+        s_bn, b_bn = bn_affine("contract_2_bn")
+        c2_out = CONTRACT_FILTER_SIZES[1][0]
+        add_conv("c2", _np_packed_kernel(k, stride=2, fin=2, fout=1),
+                 src="actB", dst="actA", bias=b, epi="contract")
+        row = np.zeros((2, ACT_C), np.float32)
+        row[0, :c2_out] = s_bn
+        row[1, :c2_out] = b_bn
+        contract_rows.append(row)
+
+        # --- residual core ---------------------------------------------------
+        style_slot = 0
+        skip_names = ("skipA", "skipB")
+        for ri in range(NUM_RESIDUAL_BLOCKS):
+            for ci in range(2):
+                k, b = conv_np(f"residual_{ri}_conv{ci}")
+                idx = len(stages)
+                src = "actA" if idx % 2 == 1 else "actB"
+                dst = "actB" if idx % 2 == 1 else "actA"
+                is_a = ci == 0
+                skip_in = skip_out = None
+                if is_a and ri >= 1:
+                    skip_out = skip_names[(ri - 1) % 2]
+                    if ri >= 2:
+                        skip_in = skip_names[ri % 2]
+                add_conv(
+                    f"res{ri}{'ab'[ci]}",
+                    _np_packed_kernel(k, stride=1, fin=1, fout=1),
+                    src=src, dst=dst, bias=b, epi="relu",
+                    in_affine=ri + ci > 0, in_relu=not is_a,
+                    skip_in=skip_in, skip_out=skip_out,
+                    stats=True, style_slot=style_slot, group=None,
+                    n_per_channel=n_px, c_packed=filters,
+                )
+                style_slot += 1
+
+        # --- expand stack -----------------------------------------------------
+        e0_f = plan.expand_blocks[0][0]
+        e1_f = plan.expand_blocks[1][0]
+        fin_f = plan.expand_blocks[2][0]
+        k, b = conv_np("expand_0_conv")
+        idx = len(stages)
+        add_conv("e0", _np_transpose_kernel(k, fin=1, fout=2),
+                 src="actA" if idx % 2 == 1 else "actB",
+                 dst="actB" if idx % 2 == 1 else "actA",
+                 bias=np.tile(b, 4), epi="bias",
+                 in_affine=True, in_relu=False,
+                 skip_in=skip_names[NUM_RESIDUAL_BLOCKS % 2], skip_out=None,
+                 stats=True, style_slot=style_slot, group="e0",
+                 n_per_channel=n_px * 4, c_packed=4 * e0_f)
+        style_slot += 1
+
+        k, b = conv_np("expand_1_conv")
+        idx = len(stages)
+        add_conv("e1", _np_transpose_kernel(k, fin=2, fout=4),
+                 src="actA" if idx % 2 == 1 else "actB",
+                 dst="actB" if idx % 2 == 1 else "actA",
+                 bias=np.tile(b, 16), epi="bias",
+                 in_affine=True, in_relu=True,
+                 stats=True, style_slot=style_slot, group="e1",
+                 n_per_channel=n_px * 16, c_packed=16 * e1_f)
+        style_slot += 1
+
+        k, b = conv_np(f"expand_{self.plan.num_expand_blocks}_conv")
+        idx = len(stages)
+        add_conv("final", _np_packed_kernel(k, stride=1, fin=4, fout=4),
+                 src="actA" if idx % 2 == 1 else "actB",
+                 dst="actB" if idx % 2 == 1 else "actA",
+                 bias=np.tile(b, 16), epi="bias",
+                 in_affine=True, in_relu=True,
+                 stats=True, style_slot=style_slot, group="fin",
+                 n_per_channel=n_px * 16, c_packed=16 * fin_f)
+        style_slot += 1
+
+        idx = len(stages)
+        stages.append(_Stage(
+            name="finish", kind="pointwise",
+            src="actA" if idx % 2 == 1 else "actB", dst="out",
+            cin=LANE, cout=LANE, epi="sigmoid", in_affine=True,
+        ))
+
+        # group-combine matrices (logical-channel averaging across parities)
+        def gmat(c_logical, f2, c_packed, width):
+            g = np.zeros((width, width), np.float32)
+            for i in range(c_packed):
+                for j in range(c_packed):
+                    if i % c_logical == j % c_logical:
+                        g[i, j] = 1.0
+            return g
+
+        self._g = {
+            "e0": gmat(e0_f, 4, 4 * e0_f, LANE),
+            "e1": gmat(e1_f, 16, 16 * e1_f, STATS_C),
+            "fin": gmat(fin_f, 16, 16 * fin_f, LANE),
+        }
+        self._style_layout = (
+            [("res", filters, 1)] * 10
+            + [("e0", e0_f, 4), ("e1", e1_f, 16), ("fin", fin_f, 16)]
+        )
+        self.stages = tuple(stages)
+        self._kernels = [jnp.asarray(k, jnp.bfloat16) for k in kernels]
+        self._biases = jnp.asarray(np.stack(biases), jnp.float32)
+        self._contract = jnp.asarray(np.stack(contract_rows), jnp.float32)
+        self._g_jnp = {k: jnp.asarray(v) for k, v in self._g.items()}
+        self._jitted = jax.jit(self._forward)
+
+    # ---- style table (per call; tiny jnp ops under jit) -------------------
+
+    def _style_table(self, style_params: jnp.ndarray) -> jnp.ndarray:
+        """Flat (P,) style vector -> (13, 2, STATS_C) tiled scale/bias table."""
+        rows = []
+        offset = 0
+        for _name, c, f2 in self._style_layout:
+            scale = style_params[offset:offset + c]
+            bias = style_params[offset + c:offset + 2 * c]
+            offset += 2 * c
+            row = jnp.zeros((2, STATS_C), jnp.float32)
+            row = row.at[0, :c * f2].set(jnp.tile(scale, f2))
+            row = row.at[1, :c * f2].set(jnp.tile(bias, f2))
+            rows.append(row)
+        assert offset == self.plan.num_style_parameters
+        return jnp.stack(rows)
+
+    # ---- the kernel ---------------------------------------------------------
+
+    def _kernel_fn(self, content, *refs):
+        n_k = len(self._kernels)
+        kernel_refs = refs[:n_k]
+        (bias_tbl, contract_tbl, style_tbl, g_e0, g_e1, g_fin,
+         out_ref, act_a, act_b, skip_a, skip_b,
+         stats_sc, affine_sc, sem, ksem) = refs[n_k:]
+        g_by_name = {"e0": g_e0, "e1": g_e1, "fin": g_fin}
+        buf = {"content": content, "actA": act_a, "actB": act_b,
+               "skipA": skip_a, "skipB": skip_b, "out": out_ref}
+        hp, wp = self.hp, self.wp
+        eps = self.eps
+
+        def pick_th(si: int, st: _Stage) -> int:
+            """Largest band height whose stage VMEM footprint stays ~<11MB."""
+            th = self.th
+            while th > 1:
+                rows = th + st.ph - 1
+                wpad = _round_up(wp + st.pw - 1, 8)
+                est = (
+                    rows * wpad * st.cin * 2          # padded temp (bf16)
+                    + rows * wp * st.cin * 2          # DMA staging
+                    + rows * wp * st.cin * 4          # f32 transform temp
+                    + th * wp * st.cout * 2           # out staging
+                    + th * wp * st.cout * 4           # f32 accumulator
+                    + int(np.prod(self._kernels[si].shape)) * 2
+                )
+                if est <= 11 * 2 ** 20 or th == 2:
+                    return th
+                th //= 2
+            return th
+
+        def run_conv(si: int, st: _Stage, k_ref):
+            th = pick_th(si, st)
+            nb = hp // th
+            rows = th + st.ph - 1
+            wpad = _round_up(wp + st.pw - 1, 8)
+            first_shift = -st.lo_y
+            last_shift = st.ph - 1 + st.lo_y
+            has_skip = st.skip_in is not None or st.skip_out is not None
+            has_transform = (st.in_affine or st.in_relu
+                             or st.skip_in is not None)
+
+            def body(*scratch):
+                if has_skip:
+                    (temp, stag, kbuf, outb, skip_stag, skip_outb,
+                     dsem) = scratch
+                else:
+                    temp, stag, kbuf, outb, dsem = scratch
+                cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
+                cp.start()
+                cp.wait()
+
+                def band(i, _):
+                    w0 = i * th + st.lo_y
+                    s = jnp.clip(w0, 0, hp - rows)
+                    src = buf[st.src]
+                    cp_in = pltpu.make_async_copy(
+                        src.at[pl.ds(s, rows), :, pl.ds(0, st.cin)]
+                        if st.src != "content" else src.at[pl.ds(s, rows)],
+                        stag, dsem)
+                    cp_in.start()
+                    cp_in.wait()
+                    if st.skip_in is not None:
+                        cp_sk = pltpu.make_async_copy(
+                            buf[st.skip_in].at[pl.ds(s, rows)],
+                            skip_stag, dsem)
+                        cp_sk.start()
+
+                    if has_transform:
+                        x = stag[...].astype(jnp.float32)
+                        if st.in_affine:
+                            a = affine_sc[0:1, :st.cin].reshape(1, 1, st.cin)
+                            b = affine_sc[1:2, :st.cin].reshape(1, 1, st.cin)
+                            x = x * a + b
+                        if st.in_relu:
+                            x = jnp.maximum(x, 0.0)
+                        if st.skip_in is not None:
+                            cp_sk.wait()
+                            x = x + skip_stag[...].astype(jnp.float32)
+                        xt = x.astype(jnp.bfloat16)
+                    else:
+                        xt = stag[...]
+
+                    if st.skip_out is not None:
+                        # owned rows sit at staging offset first_shift for
+                        # middle bands, 0 when the top halo was clamped away,
+                        # rows-th when the bottom halo was.
+                        skip_outb[...] = xt[first_shift:first_shift + th]
+                        @pl.when(i == 0)
+                        def _():
+                            skip_outb[...] = xt[0:th]
+                        @pl.when(i == nb - 1)
+                        def _():
+                            skip_outb[...] = xt[rows - th:rows]
+                        cp_so = pltpu.make_async_copy(
+                            skip_outb, buf[st.skip_out].at[pl.ds(i * th, th)],
+                            dsem)
+                        cp_so.start()
+                        cp_so.wait()
+
+                    temp[...] = jnp.zeros_like(temp)
+                    xw = -st.lo_x  # content column offset in temp
+
+                    if first_shift == 0 and last_shift == 0:
+                        temp[pl.ds(0, rows), xw:xw + wp, :] = xt
+                    else:
+                        @pl.when(jnp.logical_and(i > 0, i < nb - 1))
+                        def _():
+                            temp[pl.ds(0, rows), xw:xw + wp, :] = xt
+                        @pl.when(i == 0)
+                        def _():
+                            temp[pl.ds(first_shift, rows - first_shift),
+                                 xw:xw + wp, :] = xt[
+                                0:rows - first_shift]
+                        @pl.when(i == nb - 1)
+                        def _():
+                            temp[pl.ds(0, rows - last_shift),
+                                 xw:xw + wp, :] = xt[
+                                last_shift:rows]
+
+                    acc = jnp.zeros((th * wp, st.cout), jnp.float32)
+                    for dy in range(st.ph):
+                        for dx in range(st.pw):
+                            patch = temp[dy:dy + th, dx:dx + wp, :].reshape(
+                                th * wp, st.cin)
+                            acc += jnp.dot(patch, kbuf[dy, dx],
+                                           preferred_element_type=jnp.float32)
+                    bias = bias_tbl[si:si + 1, :st.cout]
+                    if st.epi == "contract":
+                        acc = jnp.maximum(acc + bias, 0.0)
+                        cs = contract_tbl[si, 0:1, :st.cout]
+                        cb = contract_tbl[si, 1:2, :st.cout]
+                        acc = jnp.maximum(acc * cs + cb, 0.0)
+                    elif st.epi == "relu":
+                        acc = jnp.maximum(acc + bias, 0.0)
+                    else:  # 'bias'
+                        acc = acc + bias
+                    outv = acc.astype(jnp.bfloat16)
+                    if st.stats:
+                        o32 = outv.astype(jnp.float32)
+                        stats_sc[0:1, :st.cout] += jnp.sum(
+                            o32, axis=0, keepdims=True)
+                        stats_sc[1:2, :st.cout] += jnp.sum(
+                            o32 * o32, axis=0, keepdims=True)
+                    outb[...] = outv.reshape(th, wp, st.cout)
+                    cp_out = pltpu.make_async_copy(
+                        outb, buf[st.dst].at[pl.ds(i * th, th),
+                                             :, pl.ds(0, st.cout)], dsem)
+                    cp_out.start()
+                    cp_out.wait()
+                    return 0
+
+                if st.stats:
+                    stats_sc[...] = jnp.zeros_like(stats_sc)
+                jax.lax.fori_loop(0, nb, band, 0)
+
+                if st.stats:
+                    n = jnp.float32(st.n_per_channel)
+                    if st.group is not None:
+                        g = g_by_name[st.group]
+                        gw = g.shape[0]
+                        sums = jnp.dot(stats_sc[0:1, :gw], g[...],
+                                       preferred_element_type=jnp.float32)
+                        sqs = jnp.dot(stats_sc[1:2, :gw], g[...],
+                                      preferred_element_type=jnp.float32)
+                    else:
+                        gw = STATS_C
+                        sums = stats_sc[0:1, :]
+                        sqs = stats_sc[1:2, :]
+                    mean = sums / n
+                    var = sqs / n - mean * mean
+                    inv = jax.lax.rsqrt(var + jnp.float32(eps))
+                    a = style_tbl[st.style_slot, 0:1, :gw] * inv
+                    b = style_tbl[st.style_slot, 1:2, :gw] - mean * a
+                    affine_sc[0:1, :gw] = a
+                    affine_sc[1:2, :gw] = b
+
+            scratch = [
+                pltpu.VMEM((rows, wpad, st.cin), jnp.bfloat16),
+                pltpu.VMEM((rows, wp, st.cin), jnp.bfloat16),
+                pltpu.VMEM(self._kernels[si].shape, jnp.bfloat16),
+                pltpu.VMEM((th, wp, st.cout), jnp.bfloat16),
+            ]
+            if has_skip:
+                scratch += [
+                    pltpu.VMEM((rows, wp, LANE), jnp.bfloat16),
+                    pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
+                ]
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+            pl.run_scoped(body, *scratch)
+
+        def run_pointwise(st: _Stage):
+            th = self.th
+            nb = hp // th
+
+            def body(stag, outb, dsem):
+                def band(i, _):
+                    cp_in = pltpu.make_async_copy(
+                        buf[st.src].at[pl.ds(i * th, th), :, pl.ds(0, LANE)],
+                        stag, dsem)
+                    cp_in.start()
+                    cp_in.wait()
+                    x = stag[...].astype(jnp.float32)
+                    a = affine_sc[0:1, :LANE].reshape(1, 1, LANE)
+                    b = affine_sc[1:2, :LANE].reshape(1, 1, LANE)
+                    x = jax.nn.sigmoid(x * a + b)
+                    outb[...] = x.astype(jnp.bfloat16)
+                    cp_out = pltpu.make_async_copy(
+                        outb, buf[st.dst].at[pl.ds(i * th, th)], dsem)
+                    cp_out.start()
+                    cp_out.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, nb, band, 0)
+
+            pl.run_scoped(
+                body,
+                pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
+                pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA(()),
+            )
+
+        ki = 0
+        for si, st in enumerate(self.stages):
+            if st.kind == "conv":
+                run_conv(si, st, kernel_refs[ki])
+                ki += 1
+            else:
+                run_pointwise(st)
+
+    # ---- jitted forward -----------------------------------------------------
+
+    def _forward(self, content, style_params):
+        from ..packed_conv import pack, unpack
+
+        hp, wp = self.hp, self.wp
+        fin_f = self.plan.expand_blocks[-1][0]
+        p = pack(content.astype(jnp.bfloat16), 4)  # (1, hp, wp, 16*C)
+        c_packed = p.shape[-1]
+        c_pad = _round_up(c_packed, LANE)
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_packed)))[0]
+        style_tbl = self._style_table(style_params.reshape(-1))
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # out
+            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actA
+            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actB
+            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipA
+            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipB
+        )
+        n_inputs = 1 + len(self._kernels) + 6
+        results = pl.pallas_call(
+            self._kernel_fn,
+            in_specs=(
+                [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+            ),
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
+                pltpu.VMEM((2, STATS_C), jnp.float32),   # affine
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(p, *self._kernels, self._biases, self._contract, style_tbl,
+          self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"])
+        out = results[0][None, :, :, :16 * fin_f]
+        return unpack(out, 4, fin_f).astype(jnp.float32)
+
+    def __call__(self, content: jnp.ndarray,
+                 style_params: jnp.ndarray) -> jnp.ndarray:
+        """content (1, H, W, C) f32; style_params (1, 1, P) or (P,)."""
+        if content.shape[0] != 1:
+            raise ValueError("fused kernel runs batch 1 per call")
+        return self._jitted(content, style_params)

@@ -47,49 +47,18 @@ def _masked_crc(data: bytes) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Minimal protobuf encoding
+# Protobuf encoding (shared helpers in utils.proto)
 # ---------------------------------------------------------------------------
 
-
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        bits = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(bits | 0x80)
-        else:
-            out.append(bits)
-            return bytes(out)
-
-
-def _key(field: int, wire: int) -> bytes:
-    return _varint((field << 3) | wire)
-
-
-def _double(field: int, value: float) -> bytes:
-    return _key(field, 1) + struct.pack("<d", value)
-
-
-def _float(field: int, value: float) -> bytes:
-    return _key(field, 5) + struct.pack("<f", value)
-
-
-def _int64(field: int, value: int) -> bytes:
-    return _key(field, 0) + _varint(value & 0xFFFFFFFFFFFFFFFF)
-
-
-def _bytes(field: int, value: bytes) -> bytes:
-    return _key(field, 2) + _varint(len(value)) + value
-
-
-def _string(field: int, value: str) -> bytes:
-    return _bytes(field, value.encode("utf-8"))
-
-
-def _packed_doubles(field: int, values: Sequence[float]) -> bytes:
-    payload = b"".join(struct.pack("<d", float(v)) for v in values)
-    return _bytes(field, payload)
+from ..utils.proto import (  # noqa: E402
+    enc_bytes as _bytes,
+    enc_double as _double,
+    enc_float as _float,
+    enc_int64 as _int64,
+    enc_packed_doubles as _packed_doubles,
+    enc_string as _string,
+    parse_fields as _parse_fields,
+)
 
 
 def encode_histogram_proto(
@@ -192,40 +161,6 @@ class EventFileWriter:
 # ---------------------------------------------------------------------------
 # Decoder — used by tests to round-trip what we wrote (and handy for tooling).
 # ---------------------------------------------------------------------------
-
-
-def _read_varint(buf: bytes, pos: int):
-    shift, result = 0, 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
-
-
-def _parse_fields(buf: bytes):
-    """Yield (field_number, wire_type, value) triples from a proto payload."""
-    pos = 0
-    while pos < len(buf):
-        key, pos = _read_varint(buf, pos)
-        field, wire = key >> 3, key & 7
-        if wire == 0:
-            value, pos = _read_varint(buf, pos)
-        elif wire == 1:
-            value = struct.unpack("<d", buf[pos:pos + 8])[0]
-            pos += 8
-        elif wire == 2:
-            length, pos = _read_varint(buf, pos)
-            value = buf[pos:pos + length]
-            pos += length
-        elif wire == 5:
-            value = struct.unpack("<f", buf[pos:pos + 4])[0]
-            pos += 4
-        else:  # pragma: no cover - groups unused in these protos
-            raise ValueError(f"unsupported wire type {wire}")
-        yield field, wire, value
 
 
 def read_events(path):

@@ -8,10 +8,10 @@ checkpoint), re-targeted to the TPU/JAX toolchain:
   (the SavedModel analog; runs anywhere via predict_using_saved_models.py)
 * ``<out>/predictor.stablehlo``  — style image -> flat style-param vector
 * ``<out>/transfer.stablehlo``   — content + style params -> stylized image
+* ``<out>/predictor.onnx`` + ``<out>/transfer.onnx`` — first-party ONNX emission
+  (``export/onnx.py``; reference ``save_using_checkpoint.py:90-103`` via tf2onnx)
 * ``<out>/checkpoint/``          — copy of the orbax weights artifact
 * ``<out>/config.json``          — the ShapeConfig used
-* ONNX export is emitted only when an onnx exporter is importable (this image has
-  none); a clear warning is logged otherwise.
 
     python save_using_checkpoint.py -C logs/<run> --network_spec rst-960-120-128-17 \
         -o out/export
@@ -85,15 +85,32 @@ def main():
         content, style_params,
     )
 
-    # ONNX: gated — no exporter in this environment.
-    try:
-        import onnx  # noqa: F401
+    # ONNX for the engine runtime (reference exports predictor + transfer,
+    # save_using_checkpoint.py:90-103).  Single-style graphs; multi-style
+    # deploys use the StableHLO artifacts.
+    from realtime_style_transfer_tpu.export import (
+        export_predictor_onnx, export_transfer_onnx,
+    )
 
-        log.warning("onnx is importable but no jax->onnx exporter is bundled; "
-                    "skipping ONNX emit")
-    except ImportError:
-        log.warning("ONNX export skipped (no onnx package in this environment); "
-                    "StableHLO artifacts above are the portable format")
+    if config.num_styles == 1:
+        transfer_bytes = export_transfer_onnx(variables, plan)
+        (out / "transfer.onnx").write_bytes(transfer_bytes)
+        log.info("exported %s (%d bytes)", out / "transfer.onnx",
+                 len(transfer_bytes))
+        try:
+            predictor_bytes = export_predictor_onnx(
+                variables, style_shape=config.output_shape,
+                num_top_parameters=plan.num_style_parameters,
+                feature_extractor=config.feature_extractor,
+            )
+            (out / "predictor.onnx").write_bytes(predictor_bytes)
+            log.info("exported %s (%d bytes)", out / "predictor.onnx",
+                     len(predictor_bytes))
+        except ValueError as e:
+            log.warning("predictor ONNX export skipped: %s", e)
+    else:
+        log.warning("ONNX export is single-style; use the StableHLO artifacts "
+                    "for multi-style deploys")
 
     # Copy the weights checkpoint (reference copies ckpt files to .checkpoint/).
     src = Path(args.checkpoint_path)

@@ -110,8 +110,27 @@ def test_export_and_predict_saved(trained_run, fixture_data, tmp_path):
         "-C", trained_run, "-o", export_dir,
     )
     for artifact in ("inference.stablehlo", "predictor.stablehlo",
-                     "transfer.stablehlo", "config.json", "checkpoint"):
+                     "transfer.stablehlo", "config.json", "checkpoint",
+                     "transfer.onnx", "predictor.onnx"):
         assert (export_dir / artifact).exists(), artifact
+
+    # the emitted ONNX executes (numpy runtime; semantics unit-tested elsewhere)
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.export.onnx_numpy import run_model
+    from realtime_style_transfer_tpu.models.transfer import style_param_count
+
+    cfg = ShapeConfig.from_spec(SPEC, hdr=False)
+    n_params = style_param_count(
+        cfg.content_shape, cfg.output_shape, cfg.bottleneck_res_y,
+        cfg.bottleneck_num_filters,
+    )
+    stylized = run_model(
+        (export_dir / "transfer.onnx").read_bytes(),
+        {"content": np.full((1,) + cfg.content_shape, 0.5, np.float32),
+         "style_params": np.zeros((1, n_params), np.float32)},
+    )["stylized"]
+    assert stylized.shape == (1,) + cfg.output_shape
+    assert np.isfinite(stylized).all()
 
     out = tmp_path / "from_saved.png"
     content = next((fixture_data / "content" / "validation").glob("*.png"))

@@ -1,0 +1,107 @@
+"""Fused whole-net Pallas kernel == packed/standard paths (interpret mode).
+
+The fused kernel (``ops/pallas/fused_transfer.py``) runs the entire flagship
+pipeline in one pallas_call; these tests assert bf16-tolerance equivalence with
+``stylize_packed`` (itself exactness-tested against ``StyleTransferNet.apply``)
+on a flagship-shaped tiny config, plus numpy-vs-jnp equality of the host-side
+packed-kernel assembly twins.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_style_transfer_tpu.config import ShapeConfig
+from realtime_style_transfer_tpu.models.inference import plan_from_config
+from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+from realtime_style_transfer_tpu.ops.packed_conv import (
+    packed_conv_kernel,
+    packed_conv_transpose_kernel,
+)
+from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+    FusedTransfer,
+    _np_packed_kernel,
+    _np_transpose_kernel,
+)
+
+# (64, 128) frames, 17 channels, (16, 32) bottleneck: flagship-family shapes
+# with packed width 32 (a multiple of 8) and 2 row bands.
+TINY = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                   bottleneck_num_filters=8, num_channels=17, hdr=True)
+
+
+@pytest.mark.parametrize(
+    "k,s,fin,fout",
+    [(9, 1, 4, 4), (3, 2, 4, 2), (3, 2, 2, 1), (3, 1, 1, 1)],
+)
+def test_np_packed_kernel_matches_jnp(rng, k, s, fin, fout):
+    kernel = rng.standard_normal((k, k, 5, 3)).astype(np.float32)
+    pk_np, pads_y, pads_x, s_np = _np_packed_kernel(
+        kernel, stride=s, fin=fin, fout=fout)
+    pk_j, pads_y_j, pads_x_j, s_j = packed_conv_kernel(
+        jnp.asarray(kernel), stride=s, fin=fin, fout=fout)
+    assert (pads_y, pads_x, s_np) == (pads_y_j, pads_x_j, s_j)
+    np.testing.assert_array_equal(pk_np, np.asarray(pk_j))
+    assert s_np == 1 or (s, fin, fout) == (3, 1, 1, 1)
+
+
+@pytest.mark.parametrize("fin,fout", [(1, 2), (2, 4)])
+def test_np_transpose_kernel_matches_jnp(rng, fin, fout):
+    kernel = rng.standard_normal((3, 3, 4, 6)).astype(np.float32)
+    pk_np, pads_y, pads_x, s_np = _np_transpose_kernel(
+        kernel, fin=fin, fout=fout)
+    pk_j, pads_y_j, pads_x_j, s_j = packed_conv_transpose_kernel(
+        jnp.asarray(kernel), fin=fin, fout=fout)
+    assert (pads_y, pads_x, s_np) == (pads_y_j, pads_x_j, s_j)
+    np.testing.assert_array_equal(pk_np, np.asarray(pk_j))
+    assert s_np == 1
+
+
+@pytest.fixture(scope="module")
+def flagship_tiny(rng=None):
+    rng = np.random.default_rng(21)
+    cfg = TINY
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content, style_params, train=False)
+    return cfg, plan, net, variables, content, style_params
+
+
+def test_fused_matches_packed(flagship_tiny):
+    cfg, plan, _net, variables, content, style_params = flagship_tiny
+    want = np.asarray(jax.jit(
+        lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=jnp.bfloat16)
+    )(variables, content, style_params), np.float32)
+
+    fused = FusedTransfer(variables, plan, interpret=True)
+    got = np.asarray(fused(content, style_params), np.float32)
+    assert got.shape == want.shape == (1,) + cfg.output_shape
+    # both paths are bf16 with different summation orders for the moments
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+    # tight agreement for the bulk of pixels
+    assert np.median(np.abs(got - want)) < 5e-3
+
+
+def test_fused_matches_standard_f32_loosely(flagship_tiny):
+    cfg, plan, net, variables, content, style_params = flagship_tiny
+    want = np.asarray(
+        net.apply(variables, content, style_params, train=False), np.float32)
+    fused = FusedTransfer(variables, plan, interpret=True)
+    got = np.asarray(fused(content, style_params), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.08, atol=0.03)
+
+
+def test_fused_rejects_unsupported_plans(flagship_tiny):
+    _cfg, _plan, _net, variables, _c, _p = flagship_tiny
+    bad = ShapeConfig(resolution_divider=8, bottleneck_res_y=15,
+                      bottleneck_num_filters=4, num_channels=3, hdr=False)
+    with pytest.raises(ValueError, match="flagship"):
+        FusedTransfer(variables, plan_from_config(bad))

@@ -62,8 +62,20 @@ def test_packed_conv_transpose_matches_lax(rng, k, fin, fout):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_packed_forward_matches_standard_transfer(rng):
-    """stylize_packed(variables, ...) == StyleTransferNet.apply on the SAME vars."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "divider,bottleneck_y",
+    [
+        (16, 15),  # 2 contracts / 2 expands (the flagship family)
+        (8, 15),   # 3 contracts / 3 expands (the rst-1920 divider-1 analog)
+        (16, 30),  # 1 contract / 1 expand (shallow)
+    ],
+)
+def test_packed_forward_matches_standard_transfer(rng, divider, bottleneck_y):
+    """stylize_packed(variables, ...) == StyleTransferNet.apply on the SAME vars,
+    across plan depths (the schedule is derived from the TransferPlan)."""
     import jax
 
     from realtime_style_transfer_tpu.config import ShapeConfig
@@ -71,9 +83,10 @@ def test_packed_forward_matches_standard_transfer(rng):
     from realtime_style_transfer_tpu.models.inference import plan_from_config
     from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
 
-    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+    cfg = ShapeConfig(resolution_divider=divider, bottleneck_res_y=bottleneck_y,
                       bottleneck_num_filters=4, num_channels=3, hdr=False)
     plan = plan_from_config(cfg)
+    assert plan.num_contract_blocks == plan.num_expand_blocks
     net = StyleTransferNet(plan=plan, num_styles=1)
     content = jnp.asarray(rng.random((2,) + cfg.content_shape).astype(np.float32))
     style_params = jnp.asarray(
@@ -87,5 +100,44 @@ def test_packed_forward_matches_standard_transfer(rng):
     got = np.asarray(jax.jit(
         lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=jnp.float32)
     )(variables, content, style_params))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_packed_forward_matches_standard_dual_style(rng):
+    """Packed dual-style blending (weight-map mips packed alongside activations)
+    matches the standard path exactly (reference styleTransfer.py:288-345)."""
+    import jax
+
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+    from realtime_style_transfer_tpu.models.inference import plan_from_config
+    from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+
+    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+                      bottleneck_num_filters=4, num_channels=3, hdr=False,
+                      num_styles=2)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=2)
+    content = jnp.asarray(rng.random((2,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((2, 2, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32)
+    )
+    weights = jnp.asarray(
+        rng.random((2,) + cfg.style_weights_shape).astype(np.float32)
+    )
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), content, style_params, style_weights=weights,
+        train=False,
+    )
+    want = np.asarray(
+        net.apply(variables, content, style_params, style_weights=weights,
+                  train=False)
+    )
+    got = np.asarray(jax.jit(
+        lambda v, c, p, w: stylize_packed(v, c, p, w, plan=plan,
+                                          dtype=jnp.float32)
+    )(variables, content, style_params, weights))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
