@@ -40,9 +40,15 @@ def parse_args():
                    help="capture a jax.profiler trace of the frame loop")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument(
-        "--packed", action="store_true",
-        help="packed-layout deploy path (~10%% faster; 2-contract/2-expand "
-             "configs, single style only)",
+        "--path", choices=("auto", "fused", "packed", "standard"),
+        default="auto",
+        help="compute path: 'fused' = whole-net Pallas kernel (fastest; "
+             "flagship-family configs, single style, TPU), 'packed' = "
+             "packed-layout XLA, 'standard' = the flax module; 'auto' picks "
+             "fused when the config qualifies on TPU",
+    )
+    p.add_argument(
+        "--packed", action="store_true", help="alias for --path packed",
     )
     return p.parse_args()
 
@@ -120,11 +126,30 @@ def main():
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, jnp.asarray(style))
 
-    if args.packed:
-        from realtime_style_transfer_tpu.models.inference import plan_from_config
-        from realtime_style_transfer_tpu.models.transfer_packed import stylize_packed
+    from realtime_style_transfer_tpu.models.inference import plan_from_config
 
-        plan = plan_from_config(config)
+    plan = plan_from_config(config)
+    path = "packed" if args.packed else args.path
+    if path == "auto":
+        fused_ok = (
+            plan.num_contract_blocks == 2 and plan.num_expand_blocks == 2
+            and (plan.input_shape[1] // 4) % 8 == 0
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        path = "fused" if fused_ok else "packed"
+        log.info("compute path: %s", path)
+    if path == "fused":
+        from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+            FusedTransfer,
+        )
+
+        fused = FusedTransfer(jax.device_get(variables), plan)
+        stylize = lambda v, c, p: fused(c, p)  # noqa: E731
+    elif path == "packed":
+        from realtime_style_transfer_tpu.models.transfer_packed import (
+            stylize_packed,
+        )
+
         dtype = cli.compute_dtype(args)
         stylize = jax.jit(
             lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=dtype)

@@ -30,8 +30,7 @@ flagship family), single style.  Other shapes fall back to ``stylize_packed``.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.transfer import (
     CONTRACT_FILTER_SIZES,
     NUM_RESIDUAL_BLOCKS,
-    STEM_FILTERS,
     TransferPlan,
 )
 from ..conv import _axis_classes
@@ -161,6 +159,7 @@ class _Stage:
     skip_out: Optional[str] = None
     # epilogue on the f32 accumulator:
     epi: str = "none"              # 'contract' | 'relu' | 'bias' | 'sigmoid'
+    dst_c0: int = 0                # output channel offset in dst (N-split)
     # CIN stats of THIS stage's output:
     stats: bool = False
     style_slot: int = -1           # row in the style table
@@ -173,13 +172,17 @@ class FusedTransfer:
     """One-kernel packed inference for a fixed plan + variables (batch 1)."""
 
     def __init__(self, variables, plan: TransferPlan, *,
-                 cin_epsilon: float = CIN_EPS, interpret: bool = False):
+                 cin_epsilon: float = CIN_EPS, interpret: bool = False,
+                 debug_stages: Optional[int] = None):
         if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
             raise ValueError("fused kernel supports the 2-contract/2-expand "
                              "(flagship) family; use stylize_packed otherwise")
         self.plan = plan
         self.eps = float(cin_epsilon)
         self.interpret = interpret
+        # debug_stages: emit only the first N stages (per-stage time bisects —
+        # tools/bisect_fused.py); the stylized output is then meaningless.
+        self.debug_stages = debug_stages
         h, w, self._c_in = plan.input_shape
         self.hp, self.wp = h // 4, w // 4
         if self.wp % 8:
@@ -218,59 +221,80 @@ class FusedTransfer:
         biases: List[np.ndarray] = []
         contract_rows: List[np.ndarray] = []
 
-        def add_conv(name, pk_meta, *, src, dst, bias, **kw):
+        # N-split threshold: a stage kernel bigger than this forces tiny row
+        # bands (the stem's 3.5 MB fin4 kernel measured 1.03 ms of the 2.0 ms
+        # frame with th=3); splitting cout re-reads the input bands (cheap)
+        # but doubles the band height.
+        SPLIT_BYTES = 2 * 2 ** 20
+
+        def add_conv(name, pk_meta, *, src, dst, bias,
+                     contract_scale=None, contract_shift=None, **kw):
             pk, (lo_y, ph_e), (lo_x, pw_e), s = pk_meta
             assert s == 1, (name, s)
             pkp = _pad_kernel(pk)
-            kernels.append(pkp)
             b = np.zeros(ACT_C, np.float32)
             b[:bias.size] = bias
-            biases.append(b)
-            stages.append(_Stage(
-                name=name, kind="conv", src=src, dst=dst,
-                cin=pkp.shape[2], cout=pkp.shape[3],
-                lo_y=lo_y, ph=ph_e, lo_x=lo_x, pw=pw_e, **kw,
-            ))
+            n_halves = (2 if pkp.size * 2 > SPLIT_BYTES
+                        and pkp.shape[3] % (2 * LANE) == 0
+                        and not kw.get("stats") else 1)
+            half = pkp.shape[3] // n_halves
+            for hi in range(n_halves):
+                kernels.append(
+                    np.ascontiguousarray(pkp[..., hi * half:(hi + 1) * half]))
+                bh = np.zeros(ACT_C, np.float32)
+                bh[:half] = b[hi * half:(hi + 1) * half]
+                biases.append(bh)
+                row = np.zeros((2, ACT_C), np.float32)
+                if contract_scale is not None:
+                    cs = np.zeros(pkp.shape[3], np.float32)
+                    cb = np.zeros(pkp.shape[3], np.float32)
+                    cs[:contract_scale.size] = contract_scale
+                    cb[:contract_shift.size] = contract_shift
+                    row[0, :half] = cs[hi * half:(hi + 1) * half]
+                    row[1, :half] = cb[hi * half:(hi + 1) * half]
+                contract_rows.append(row)
+                stages.append(_Stage(
+                    name=name if n_halves == 1 else f"{name}_n{hi}",
+                    kind="conv", src=src, dst=dst,
+                    cin=pkp.shape[2], cout=half, dst_c0=hi * half,
+                    lo_y=lo_y, ph=ph_e, lo_x=lo_x, pw=pw_e, **kw,
+                ))
+            return n_halves
 
         # --- contract stack (fin4 scheme: everything stride-1, (hp, wp)) ---
         k, b = conv_np("contract_0_conv")
         s_bn, b_bn = bn_affine("contract_0_bn")
         add_conv("stem", _np_packed_kernel(k, stride=1, fin=4, fout=4),
-                 src="content", dst="actA", bias=np.tile(b, 16), epi="contract")
-        row = np.zeros((2, ACT_C), np.float32)
-        row[0, :16 * STEM_FILTERS] = np.tile(s_bn, 16)
-        row[1, :16 * STEM_FILTERS] = np.tile(b_bn, 16)
-        contract_rows.append(row)
+                 src="content", dst="actA", bias=np.tile(b, 16), epi="contract",
+                 contract_scale=np.tile(s_bn, 16),
+                 contract_shift=np.tile(b_bn, 16))
 
         k, b = conv_np("contract_1_conv")
         s_bn, b_bn = bn_affine("contract_1_bn")
-        c1_out = CONTRACT_FILTER_SIZES[0][0]
         add_conv("c1", _np_packed_kernel(k, stride=2, fin=4, fout=2),
-                 src="actA", dst="actB", bias=np.tile(b, 4), epi="contract")
-        row = np.zeros((2, ACT_C), np.float32)
-        row[0, :4 * c1_out] = np.tile(s_bn, 4)
-        row[1, :4 * c1_out] = np.tile(b_bn, 4)
-        contract_rows.append(row)
+                 src="actA", dst="actB", bias=np.tile(b, 4), epi="contract",
+                 contract_scale=np.tile(s_bn, 4),
+                 contract_shift=np.tile(b_bn, 4))
 
         k, b = conv_np("contract_2_conv")
         s_bn, b_bn = bn_affine("contract_2_bn")
-        c2_out = CONTRACT_FILTER_SIZES[1][0]
         add_conv("c2", _np_packed_kernel(k, stride=2, fin=2, fout=1),
-                 src="actB", dst="actA", bias=b, epi="contract")
-        row = np.zeros((2, ACT_C), np.float32)
-        row[0, :c2_out] = s_bn
-        row[1, :c2_out] = b_bn
-        contract_rows.append(row)
+                 src="actB", dst="actA", bias=b, epi="contract",
+                 contract_scale=s_bn, contract_shift=b_bn)
 
         # --- residual core ---------------------------------------------------
         style_slot = 0
         skip_names = ("skipA", "skipB")
+        cur = "actA"  # c2's dst
+
+        def flip(cur):
+            return "actB" if cur == "actA" else "actA"
+
         for ri in range(NUM_RESIDUAL_BLOCKS):
             for ci in range(2):
                 k, b = conv_np(f"residual_{ri}_conv{ci}")
-                idx = len(stages)
-                src = "actA" if idx % 2 == 1 else "actB"
-                dst = "actB" if idx % 2 == 1 else "actA"
+                src, dst = cur, flip(cur)
+                cur = dst
                 is_a = ci == 0
                 skip_in = skip_out = None
                 if is_a and ri >= 1:
@@ -293,10 +317,8 @@ class FusedTransfer:
         e1_f = plan.expand_blocks[1][0]
         fin_f = plan.expand_blocks[2][0]
         k, b = conv_np("expand_0_conv")
-        idx = len(stages)
         add_conv("e0", _np_transpose_kernel(k, fin=1, fout=2),
-                 src="actA" if idx % 2 == 1 else "actB",
-                 dst="actB" if idx % 2 == 1 else "actA",
+                 src=cur, dst=flip(cur),
                  bias=np.tile(b, 4), epi="bias",
                  in_affine=True, in_relu=False,
                  skip_in=skip_names[NUM_RESIDUAL_BLOCKS % 2], skip_out=None,
@@ -304,32 +326,30 @@ class FusedTransfer:
                  n_per_channel=n_px * 4, c_packed=4 * e0_f)
         style_slot += 1
 
+        cur = flip(cur)
         k, b = conv_np("expand_1_conv")
-        idx = len(stages)
         add_conv("e1", _np_transpose_kernel(k, fin=2, fout=4),
-                 src="actA" if idx % 2 == 1 else "actB",
-                 dst="actB" if idx % 2 == 1 else "actA",
+                 src=cur, dst=flip(cur),
                  bias=np.tile(b, 16), epi="bias",
                  in_affine=True, in_relu=True,
                  stats=True, style_slot=style_slot, group="e1",
                  n_per_channel=n_px * 16, c_packed=16 * e1_f)
         style_slot += 1
 
+        cur = flip(cur)
         k, b = conv_np(f"expand_{self.plan.num_expand_blocks}_conv")
-        idx = len(stages)
         add_conv("final", _np_packed_kernel(k, stride=1, fin=4, fout=4),
-                 src="actA" if idx % 2 == 1 else "actB",
-                 dst="actB" if idx % 2 == 1 else "actA",
+                 src=cur, dst=flip(cur),
                  bias=np.tile(b, 16), epi="bias",
                  in_affine=True, in_relu=True,
                  stats=True, style_slot=style_slot, group="fin",
                  n_per_channel=n_px * 16, c_packed=16 * fin_f)
         style_slot += 1
 
-        idx = len(stages)
+        cur = flip(cur)
         stages.append(_Stage(
             name="finish", kind="pointwise",
-            src="actA" if idx % 2 == 1 else "actB", dst="out",
+            src=cur, dst="out",
             cin=LANE, cout=LANE, epi="sigmoid", in_affine=True,
         ))
 
@@ -390,23 +410,32 @@ class FusedTransfer:
         eps = self.eps
 
         def pick_th(si: int, st: _Stage) -> int:
-            """Largest band height whose stage VMEM footprint stays ~<11MB."""
-            th = self.th
-            while th > 1:
+            """Largest band height whose stage VMEM footprint stays ~<10MB.
+
+            Bigger bands amortize per-band DMA issue/copy overhead; the
+            accumulator (f32) and the double-buffered rings set the ceiling.
+            """
+            has_skip = st.skip_in is not None or st.skip_out is not None
+            has_transform = (st.in_affine or st.in_relu
+                             or st.skip_in is not None)
+            for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
+                             reverse=True):
                 rows = th + st.ph - 1
                 wpad = _round_up(wp + st.pw - 1, 8)
                 est = (
-                    rows * wpad * st.cin * 2          # padded temp (bf16)
-                    + rows * wp * st.cin * 2          # DMA staging
-                    + rows * wp * st.cin * 4          # f32 transform temp
-                    + th * wp * st.cout * 2           # out staging
-                    + th * wp * st.cout * 4           # f32 accumulator
+                    rows * wpad * st.cin * 2              # padded temp (bf16)
+                    + 2 * rows * wp * st.cin * 2          # staging ring
+                    + 2 * th * wp * st.cout * 2           # out ring
+                    + th * wp * st.cout * 4               # f32 accumulator
                     + int(np.prod(self._kernels[si].shape)) * 2
                 )
-                if est <= 11 * 2 ** 20 or th == 2:
+                if has_transform:
+                    est += rows * wp * st.cin * 4         # f32 transform temp
+                if has_skip:
+                    est += 2 * (rows + th) * wp * LANE * 2
+                if est <= 12 * 2 ** 20 or th == 1:
                     return th
-                th //= 2
-            return th
+            return 1
 
         def run_conv(si: int, st: _Stage, k_ref):
             th = pick_th(si, st)
@@ -422,31 +451,65 @@ class FusedTransfer:
             def body(*scratch):
                 if has_skip:
                     (temp, stag, kbuf, outb, skip_stag, skip_outb,
-                     dsem) = scratch
+                     insem, outsem, sksem, sosem) = scratch
                 else:
-                    temp, stag, kbuf, outb, dsem = scratch
+                    temp, stag, kbuf, outb, insem, outsem = scratch
                 cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
                 cp.start()
+
+                src = buf[st.src]
+
+                def in_dma(slot, i):
+                    w0 = i * th + st.lo_y
+                    s = jnp.clip(w0, 0, hp - rows)
+                    return pltpu.make_async_copy(
+                        src.at[pl.ds(s, rows), :, pl.ds(0, st.cin)]
+                        if st.src != "content" else src.at[pl.ds(s, rows)],
+                        stag.at[slot], insem.at[slot])
+
+                def skip_dma(slot, i):
+                    w0 = i * th + st.lo_y
+                    s = jnp.clip(w0, 0, hp - rows)
+                    return pltpu.make_async_copy(
+                        buf[st.skip_in].at[pl.ds(s, rows)],
+                        skip_stag.at[slot], sksem.at[slot])
+
+                def out_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        outb.at[slot],
+                        buf[st.dst].at[pl.ds(i * th, th), :,
+                                       pl.ds(st.dst_c0, st.cout)],
+                        outsem.at[slot])
+
+                def skip_out_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        skip_outb.at[slot],
+                        buf[st.skip_out].at[pl.ds(i * th, th)],
+                        sosem.at[slot])
+
+                # warm-up: first band's loads in flight before the loop
+                in_dma(0, 0).start()
+                if st.skip_in is not None:
+                    skip_dma(0, 0).start()
                 cp.wait()
 
                 def band(i, _):
-                    w0 = i * th + st.lo_y
-                    s = jnp.clip(w0, 0, hp - rows)
-                    src = buf[st.src]
-                    cp_in = pltpu.make_async_copy(
-                        src.at[pl.ds(s, rows), :, pl.ds(0, st.cin)]
-                        if st.src != "content" else src.at[pl.ds(s, rows)],
-                        stag, dsem)
-                    cp_in.start()
-                    cp_in.wait()
+                    slot = i % 2
+                    nxt = (i + 1) % 2
+
+                    @pl.when(i + 1 < nb)
+                    def _():
+                        in_dma(nxt, i + 1).start()
+
                     if st.skip_in is not None:
-                        cp_sk = pltpu.make_async_copy(
-                            buf[st.skip_in].at[pl.ds(s, rows)],
-                            skip_stag, dsem)
-                        cp_sk.start()
+                        @pl.when(i + 1 < nb)
+                        def _():
+                            skip_dma(nxt, i + 1).start()
+
+                    in_dma(slot, i).wait()
 
                     if has_transform:
-                        x = stag[...].astype(jnp.float32)
+                        x = stag[slot].astype(jnp.float32)
                         if st.in_affine:
                             a = affine_sc[0:1, :st.cin].reshape(1, 1, st.cin)
                             b = affine_sc[1:2, :st.cin].reshape(1, 1, st.cin)
@@ -454,30 +517,31 @@ class FusedTransfer:
                         if st.in_relu:
                             x = jnp.maximum(x, 0.0)
                         if st.skip_in is not None:
-                            cp_sk.wait()
-                            x = x + skip_stag[...].astype(jnp.float32)
+                            skip_dma(slot, i).wait()
+                            x = x + skip_stag[slot].astype(jnp.float32)
                         xt = x.astype(jnp.bfloat16)
                     else:
-                        xt = stag[...]
+                        xt = stag[slot]
 
                     if st.skip_out is not None:
+                        # wait for the DMA that used this ring slot 2 bands ago
+                        @pl.when(i >= 2)
+                        def _():
+                            skip_out_dma(slot, i - 2).wait()
                         # owned rows sit at staging offset first_shift for
                         # middle bands, 0 when the top halo was clamped away,
                         # rows-th when the bottom halo was.
-                        skip_outb[...] = xt[first_shift:first_shift + th]
+                        skip_outb[slot] = xt[first_shift:first_shift + th]
                         @pl.when(i == 0)
                         def _():
-                            skip_outb[...] = xt[0:th]
+                            skip_outb[slot] = xt[0:th]
                         @pl.when(i == nb - 1)
                         def _():
-                            skip_outb[...] = xt[rows - th:rows]
-                        cp_so = pltpu.make_async_copy(
-                            skip_outb, buf[st.skip_out].at[pl.ds(i * th, th)],
-                            dsem)
-                        cp_so.start()
-                        cp_so.wait()
+                            skip_outb[slot] = xt[rows - th:rows]
+                        skip_out_dma(slot, i).start()
 
-                    temp[...] = jnp.zeros_like(temp)
+                    # temp's halo cols/rows are zeroed once per stage (before
+                    # the loop); bands overwrite only the content columns.
                     xw = -st.lo_x  # content column offset in temp
 
                     if first_shift == 0 and last_shift == 0:
@@ -496,12 +560,19 @@ class FusedTransfer:
                             temp[pl.ds(0, rows - last_shift),
                                  xw:xw + wp, :] = xt[
                                 last_shift:rows]
+                            # rows above were band nb-2's content: they are
+                            # this band's bottom halo and must be zero
+                            temp[pl.ds(rows - last_shift, last_shift),
+                                 xw:xw + wp, :] = jnp.zeros(
+                                (last_shift, wp, st.cin), temp.dtype)
 
+                    # dx-major tap matmuls: one W-shifted slab copy per dx
+                    # (contiguous in (row, W)), then dy slices reshape for free
                     acc = jnp.zeros((th * wp, st.cout), jnp.float32)
-                    for dy in range(st.ph):
-                        for dx in range(st.pw):
-                            patch = temp[dy:dy + th, dx:dx + wp, :].reshape(
-                                th * wp, st.cin)
+                    for dx in range(st.pw):
+                        slab = temp[:, dx:dx + wp, :]
+                        for dy in range(st.ph):
+                            patch = slab[dy:dy + th].reshape(th * wp, st.cin)
                             acc += jnp.dot(patch, kbuf[dy, dx],
                                            preferred_element_type=jnp.float32)
                     bias = bias_tbl[si:si + 1, :st.cout]
@@ -521,17 +592,25 @@ class FusedTransfer:
                             o32, axis=0, keepdims=True)
                         stats_sc[1:2, :st.cout] += jnp.sum(
                             o32 * o32, axis=0, keepdims=True)
-                    outb[...] = outv.reshape(th, wp, st.cout)
-                    cp_out = pltpu.make_async_copy(
-                        outb, buf[st.dst].at[pl.ds(i * th, th),
-                                             :, pl.ds(0, st.cout)], dsem)
-                    cp_out.start()
-                    cp_out.wait()
+
+                    @pl.when(i >= 2)
+                    def _():
+                        out_dma(slot, i - 2).wait()
+
+                    outb[slot] = outv.reshape(th, wp, st.cout)
+                    out_dma(slot, i).start()
                     return 0
 
                 if st.stats:
                     stats_sc[...] = jnp.zeros_like(stats_sc)
+                temp[...] = jnp.zeros_like(temp)  # halo cols/rows stay zero
                 jax.lax.fori_loop(0, nb, band, 0)
+                # drain the last two in-flight output DMAs (nb >= 2)
+                out_dma((nb - 2) % 2, nb - 2).wait()
+                out_dma((nb - 1) % 2, nb - 1).wait()
+                if st.skip_out is not None:
+                    skip_out_dma((nb - 2) % 2, nb - 2).wait()
+                    skip_out_dma((nb - 1) % 2, nb - 1).wait()
 
                 if st.stats:
                     n = jnp.float32(st.n_per_channel)
@@ -556,16 +635,24 @@ class FusedTransfer:
 
             scratch = [
                 pltpu.VMEM((rows, wpad, st.cin), jnp.bfloat16),
-                pltpu.VMEM((rows, wp, st.cin), jnp.bfloat16),
+                pltpu.VMEM((2, rows, wp, st.cin), jnp.bfloat16),
                 pltpu.VMEM(self._kernels[si].shape, jnp.bfloat16),
-                pltpu.VMEM((th, wp, st.cout), jnp.bfloat16),
+                pltpu.VMEM((2, th, wp, st.cout), jnp.bfloat16),
             ]
             if has_skip:
                 scratch += [
-                    pltpu.VMEM((rows, wp, LANE), jnp.bfloat16),
-                    pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
+                    pltpu.VMEM((2, rows, wp, LANE), jnp.bfloat16),
+                    pltpu.VMEM((2, th, wp, LANE), jnp.bfloat16),
                 ]
-            scratch.append(pltpu.SemaphoreType.DMA(()))
+            scratch += [
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if has_skip:
+                scratch += [
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
             pl.run_scoped(body, *scratch)
 
         def run_pointwise(st: _Stage):
@@ -600,7 +687,10 @@ class FusedTransfer:
             )
 
         ki = 0
-        for si, st in enumerate(self.stages):
+        stages = self.stages
+        if self.debug_stages is not None:
+            stages = stages[:self.debug_stages]
+        for si, st in enumerate(stages):
             if st.kind == "conv":
                 run_conv(si, st, kernel_refs[ki])
                 ki += 1
@@ -609,11 +699,11 @@ class FusedTransfer:
 
     # ---- jitted forward -----------------------------------------------------
 
-    def _forward(self, content, style_params):
-        from ..packed_conv import pack, unpack
+    def _forward_raw(self, content, style_params):
+        """All kernel outputs (out, actA, actB, skipA, skipB) — debug/bisect."""
+        from ..packed_conv import pack
 
         hp, wp = self.hp, self.wp
-        fin_f = self.plan.expand_blocks[-1][0]
         p = pack(content.astype(jnp.bfloat16), 4)  # (1, hp, wp, 16*C)
         c_packed = p.shape[-1]
         c_pad = _round_up(c_packed, LANE)
@@ -648,6 +738,13 @@ class FusedTransfer:
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(p, *self._kernels, self._biases, self._contract, style_tbl,
           self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"])
+        return results
+
+    def _forward(self, content, style_params):
+        from ..packed_conv import unpack
+
+        fin_f = self.plan.expand_blocks[-1][0]
+        results = self._forward_raw(content, style_params)
         out = results[0][None, :, :, :16 * fin_f]
         return unpack(out, 4, fin_f).astype(jnp.float32)
 
