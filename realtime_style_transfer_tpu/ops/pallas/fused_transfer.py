@@ -509,17 +509,24 @@ class FusedTransfer:
                     in_dma(slot, i).wait()
 
                     if has_transform:
-                        x = stag[slot].astype(jnp.float32)
+                        # bf16 elementwise chain: every op here is a full VMEM
+                        # pass over the band, so halving the element size is a
+                        # direct VPU-traffic win; the downstream matmul eats
+                        # bf16 anyway (the XLA packed path also runs these
+                        # affines in the compute dtype).
+                        x = stag[slot]
                         if st.in_affine:
-                            a = affine_sc[0:1, :st.cin].reshape(1, 1, st.cin)
-                            b = affine_sc[1:2, :st.cin].reshape(1, 1, st.cin)
+                            a = affine_sc[0:1, :st.cin].reshape(
+                                1, 1, st.cin).astype(jnp.bfloat16)
+                            b = affine_sc[1:2, :st.cin].reshape(
+                                1, 1, st.cin).astype(jnp.bfloat16)
                             x = x * a + b
                         if st.in_relu:
-                            x = jnp.maximum(x, 0.0)
+                            x = jnp.maximum(x, jnp.bfloat16(0.0))
                         if st.skip_in is not None:
                             skip_dma(slot, i).wait()
-                            x = x + skip_stag[slot].astype(jnp.float32)
-                        xt = x.astype(jnp.bfloat16)
+                            x = x + skip_stag[slot]
+                        xt = x
                     else:
                         xt = stag[slot]
 
@@ -585,13 +592,15 @@ class FusedTransfer:
                         acc = jnp.maximum(acc + bias, 0.0)
                     else:  # 'bias'
                         acc = acc + bias
-                    outv = acc.astype(jnp.bfloat16)
                     if st.stats:
-                        o32 = outv.astype(jnp.float32)
+                        # moments from the f32 accumulator directly: skips the
+                        # bf16->f32 re-expansion pass and is closer to the
+                        # oracle's f32 moment math than rounding first
                         stats_sc[0:1, :st.cout] += jnp.sum(
-                            o32, axis=0, keepdims=True)
+                            acc, axis=0, keepdims=True)
                         stats_sc[1:2, :st.cout] += jnp.sum(
-                            o32 * o32, axis=0, keepdims=True)
+                            acc * acc, axis=0, keepdims=True)
+                    outv = acc.astype(jnp.bfloat16)
 
                     @pl.when(i >= 2)
                     def _():
@@ -666,11 +675,15 @@ class FusedTransfer:
                         stag, dsem)
                     cp_in.start()
                     cp_in.wait()
-                    x = stag[...].astype(jnp.float32)
-                    a = affine_sc[0:1, :LANE].reshape(1, 1, LANE)
-                    b = affine_sc[1:2, :LANE].reshape(1, 1, LANE)
-                    x = jax.nn.sigmoid(x * a + b)
-                    outb[...] = x.astype(jnp.bfloat16)
+                    # affine in bf16; sigmoid stays f32 (Mosaic cannot lower
+                    # bf16 logistic: f32 scalar broadcast verification error)
+                    x = stag[...]
+                    a = affine_sc[0:1, :LANE].reshape(
+                        1, 1, LANE).astype(jnp.bfloat16)
+                    b = affine_sc[1:2, :LANE].reshape(
+                        1, 1, LANE).astype(jnp.bfloat16)
+                    y = (x * a + b).astype(jnp.float32)
+                    outb[...] = jax.nn.sigmoid(y).astype(jnp.bfloat16)
                     cp_out = pltpu.make_async_copy(
                         outb, buf[st.dst].at[pl.ds(i * th, th)], dsem)
                     cp_out.start()

@@ -100,3 +100,26 @@ def test_get_dataset_with_local_styles(fake_corpus, tmp_path, rng):
     # iterator factories restart cleanly
     again, _ = next(iter(make_train()))
     np.testing.assert_array_equal(inputs["content"], again["content"])
+
+
+def test_get_hdr_dataset_wrapper(fake_corpus, tmp_path):
+    """get_hdr_dataset injects the config channel list + HDR content dir
+    (reference ``wikiart.py:220-235``) and pairs G-buffer sets with styles."""
+    from realtime_style_transfer_tpu.data.exr import write_gbuffer_fixture
+
+    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+                      bottleneck_num_filters=4, num_channels=6, hdr=True)
+    content_dir = tmp_path / "hdr_content"
+    for sub in ("training", "validation"):
+        for i in range(2):
+            write_gbuffer_fixture(
+                content_dir / sub, f"shot{i}", cfg.channels, 24, 48, seed=i
+            )
+    make_train, _make_val, n_train, n_val = wikiart.get_hdr_dataset(
+        cfg, batch_size=2, content_dir=content_dir,
+        style_paths=wikiart.style_filepaths(seed=3),
+    )
+    assert n_train == 2 and n_val == 2
+    inputs, gt = next(iter(make_train()))
+    assert inputs["content"].shape == (2,) + cfg.content_shape  # 6 channels
+    assert gt["content"].shape == (2,) + cfg.output_shape       # PNG truth
