@@ -30,7 +30,11 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     cli.add_config_args(p)
     p.add_argument("-C", "--checkpoint_path", type=Path, required=True)
-    p.add_argument("-s", "--style", type=Path, required=True)
+    p.add_argument("-s", "--style", type=Path, action="append", required=True,
+                   help="style image (repeat for dual-style blending)")
+    p.add_argument("-w", "--style_weights", type=Path, default=None,
+                   help="grayscale weight-map image for style 2 (static "
+                        "across frames; zeros when omitted)")
     p.add_argument("--frames_dir", type=Path, required=True,
                    help="directory of frame PNGs (+ EXR siblings when HDR)")
     p.add_argument("-o", "--output", type=Path, default=Path("out/video.mp4"))
@@ -43,7 +47,7 @@ def parse_args():
         "--path", choices=("auto", "fused", "packed", "standard"),
         default="auto",
         help="compute path: 'fused' = whole-net Pallas kernel (fastest; "
-             "flagship-family configs, single style, TPU), 'packed' = "
+             "flagship-family configs, 1-2 styles, TPU), 'packed' = "
              "packed-layout XLA, 'standard' = the flax module; 'auto' picks "
              "fused when the config qualifies on TPU",
     )
@@ -116,15 +120,30 @@ def main():
     from realtime_style_transfer_tpu.data.pipeline import DevicePrefetcher
     from realtime_style_transfer_tpu.tracing.profiler import FrameTimer, trace
 
-    config = cli.config_from_args(args, num_styles=1)
+    config = cli.config_from_args(args, num_styles=len(args.style))
     model, variables = cli.build_inference(config, dtype=cli.compute_dtype(args))
     variables = cli.load_variables(args.checkpoint_path, variables)
 
     # Style params once (reference :77-80), resident on device.
-    style = cli.load_styles([args.style], config)[None]
+    style = cli.load_styles(args.style, config)[None]
     style_params = jax.jit(
         lambda v, s: model.apply(v, s, method=model.predict_style_params)
     )(variables, jnp.asarray(style))
+
+    # Static per-pixel weight map for dual-style streaming (framework
+    # extension; the reference video loop is single-style).
+    weights = None
+    if config.num_styles > 1:
+        if args.style_weights is not None:
+            from realtime_style_transfer_tpu.data.imaging import load_image
+
+            wm = load_image(
+                args.style_weights,
+                config.output_dimensions + (config.num_styles - 1,),
+            )
+        else:
+            wm = np.zeros(config.style_weights_shape, np.float32)
+        weights = jnp.asarray(wm[None])
 
     from realtime_style_transfer_tpu.models.inference import plan_from_config
 
@@ -143,8 +162,9 @@ def main():
             FusedTransfer,
         )
 
-        fused = FusedTransfer(jax.device_get(variables), plan)
-        stylize = lambda v, c, p: fused(c, p)  # noqa: E731
+        fused = FusedTransfer(jax.device_get(variables), plan,
+                              num_styles=config.num_styles)
+        stylize = lambda v, c, p: fused(c, p, weights)  # noqa: E731
     elif path == "packed":
         from realtime_style_transfer_tpu.models.transfer_packed import (
             stylize_packed,
@@ -152,11 +172,13 @@ def main():
 
         dtype = cli.compute_dtype(args)
         stylize = jax.jit(
-            lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=dtype)
+            lambda v, c, p: stylize_packed(v, c, p, weights, plan=plan,
+                                           dtype=dtype)
         )
     else:
         stylize = jax.jit(
-            lambda v, c, p: model.apply(v, c, p, method=model.stylize)
+            lambda v, c, p: model.apply(v, c, p, weights,
+                                        method=model.stylize)
         )
 
     if config.hdr and config.total_channels > 3:

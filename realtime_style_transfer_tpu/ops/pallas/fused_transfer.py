@@ -24,7 +24,15 @@ Correctness: exact-equivalence (bf16 tolerance) with ``stylize_packed`` /
 ``StyleTransferNet.apply`` is asserted in ``tests/test_fused_transfer.py``
 (interpret mode on CPU; the real chip is covered by bench + a TPU parity
 check).  Restrictions: batch 1 per call, 2-contract/2-expand plans (the
-flagship family), single style.  Other shapes fall back to ``stylize_packed``.
+flagship family).  Other shapes fall back to ``stylize_packed``.
+
+Dual-style (``num_styles=2``, reference ``styleTransfer.py:36-44,288-303``):
+the per-pixel blend of CIN parameters is linear, and the moment fold is linear
+in (scale, bias), so blending folded per-style affines equals folding blended
+parameters: ``a(x,y) = a0 + w(x,y) * (a1 - a0)`` (same for b).  The kernel
+keeps base + delta affine rows in scratch and streams the style-weight mip —
+packed to the uniform grid and pre-expanded to each consumer stage's packed
+channel count — through a third DMA ring alongside input and skip bands.
 """
 
 from __future__ import annotations
@@ -166,17 +174,25 @@ class _Stage:
     group: Optional[str] = None    # None | 'e0' | 'e1' | 'fin'
     n_per_channel: int = 0
     c_packed: int = 0              # real (unpadded) packed channel count
+    # dual-style: which packed weight-mip buffer blends in_affine (by the
+    # PRODUCER stage's resolution); ignored unless the kernel runs dual
+    w_src: Optional[str] = None    # 'wB' | 'wE0' | 'wE1' | 'wFin'
 
 
 class FusedTransfer:
     """One-kernel packed inference for a fixed plan + variables (batch 1)."""
 
     def __init__(self, variables, plan: TransferPlan, *,
+                 num_styles: int = 1,
                  cin_epsilon: float = CIN_EPS, interpret: bool = False,
                  debug_stages: Optional[int] = None):
         if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
             raise ValueError("fused kernel supports the 2-contract/2-expand "
                              "(flagship) family; use stylize_packed otherwise")
+        if num_styles not in (1, 2):
+            raise ValueError("fused kernel supports 1 or 2 styles "
+                             "(reference blends exactly two)")
+        self.dual = num_styles == 2
         self.plan = plan
         self.eps = float(cin_epsilon)
         self.interpret = interpret
@@ -308,7 +324,7 @@ class FusedTransfer:
                     in_affine=ri + ci > 0, in_relu=not is_a,
                     skip_in=skip_in, skip_out=skip_out,
                     stats=True, style_slot=style_slot, group=None,
-                    n_per_channel=n_px, c_packed=filters,
+                    n_per_channel=n_px, c_packed=filters, w_src="wB",
                 )
                 style_slot += 1
 
@@ -323,7 +339,7 @@ class FusedTransfer:
                  in_affine=True, in_relu=False,
                  skip_in=skip_names[NUM_RESIDUAL_BLOCKS % 2], skip_out=None,
                  stats=True, style_slot=style_slot, group="e0",
-                 n_per_channel=n_px * 4, c_packed=4 * e0_f)
+                 n_per_channel=n_px * 4, c_packed=4 * e0_f, w_src="wB")
         style_slot += 1
 
         cur = flip(cur)
@@ -333,7 +349,7 @@ class FusedTransfer:
                  bias=np.tile(b, 16), epi="bias",
                  in_affine=True, in_relu=True,
                  stats=True, style_slot=style_slot, group="e1",
-                 n_per_channel=n_px * 16, c_packed=16 * e1_f)
+                 n_per_channel=n_px * 16, c_packed=16 * e1_f, w_src="wE0")
         style_slot += 1
 
         cur = flip(cur)
@@ -343,14 +359,14 @@ class FusedTransfer:
                  bias=np.tile(b, 16), epi="bias",
                  in_affine=True, in_relu=True,
                  stats=True, style_slot=style_slot, group="fin",
-                 n_per_channel=n_px * 16, c_packed=16 * fin_f)
+                 n_per_channel=n_px * 16, c_packed=16 * fin_f, w_src="wE1")
         style_slot += 1
 
         cur = flip(cur)
         stages.append(_Stage(
             name="finish", kind="pointwise",
             src=cur, dst="out",
-            cin=LANE, cout=LANE, epi="sigmoid", in_affine=True,
+            cin=LANE, cout=LANE, epi="sigmoid", in_affine=True, w_src="wFin",
         ))
 
         # group-combine matrices (logical-channel averaging across parities)
@@ -381,16 +397,24 @@ class FusedTransfer:
     # ---- style table (per call; tiny jnp ops under jit) -------------------
 
     def _style_table(self, style_params: jnp.ndarray) -> jnp.ndarray:
-        """Flat (P,) style vector -> (13, 2, STATS_C) tiled scale/bias table."""
+        """(S, P) style vectors -> (13, 2*S, STATS_C) tiled scale/bias table.
+
+        Row layout per slot: ``[scale_s0, bias_s0, scale_s1, bias_s1]`` (the
+        last two only when dual) — the kernel folds each style's rows with the
+        shared moments and blends base + delta per pixel.
+        """
+        n_styles = 2 if self.dual else 1
+        sp = style_params.reshape(n_styles, self.plan.num_style_parameters)
         rows = []
         offset = 0
         for _name, c, f2 in self._style_layout:
-            scale = style_params[offset:offset + c]
-            bias = style_params[offset + c:offset + 2 * c]
+            row = jnp.zeros((2 * n_styles, STATS_C), jnp.float32)
+            for s in range(n_styles):
+                scale = sp[s, offset:offset + c]
+                bias = sp[s, offset + c:offset + 2 * c]
+                row = row.at[2 * s, :c * f2].set(jnp.tile(scale, f2))
+                row = row.at[2 * s + 1, :c * f2].set(jnp.tile(bias, f2))
             offset += 2 * c
-            row = jnp.zeros((2, STATS_C), jnp.float32)
-            row = row.at[0, :c * f2].set(jnp.tile(scale, f2))
-            row = row.at[1, :c * f2].set(jnp.tile(bias, f2))
             rows.append(row)
         assert offset == self.plan.num_style_parameters
         return jnp.stack(rows)
@@ -400,12 +424,18 @@ class FusedTransfer:
     def _kernel_fn(self, content, *refs):
         n_k = len(self._kernels)
         kernel_refs = refs[:n_k]
-        (bias_tbl, contract_tbl, style_tbl, g_e0, g_e1, g_fin,
-         out_ref, act_a, act_b, skip_a, skip_b,
-         stats_sc, affine_sc, sem, ksem) = refs[n_k:]
+        n_w = 4 if self.dual else 0
+        bias_tbl, contract_tbl, style_tbl, g_e0, g_e1, g_fin = \
+            refs[n_k:n_k + 6]
+        w_refs = refs[n_k + 6:n_k + 6 + n_w]
+        (out_ref, act_a, act_b, skip_a, skip_b,
+         stats_sc, affine_sc, sem, ksem) = refs[n_k + 6 + n_w:]
         g_by_name = {"e0": g_e0, "e1": g_e1, "fin": g_fin}
         buf = {"content": content, "actA": act_a, "actB": act_b,
                "skipA": skip_a, "skipB": skip_b, "out": out_ref}
+        if self.dual:
+            buf.update({"wB": w_refs[0], "wE0": w_refs[1],
+                        "wE1": w_refs[2], "wFin": w_refs[3]})
         hp, wp = self.hp, self.wp
         eps = self.eps
 
@@ -416,6 +446,7 @@ class FusedTransfer:
             accumulator (f32) and the double-buffered rings set the ceiling.
             """
             has_skip = st.skip_in is not None or st.skip_out is not None
+            has_w = self.dual and st.in_affine and st.w_src is not None
             has_transform = (st.in_affine or st.in_relu
                              or st.skip_in is not None)
             for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
@@ -433,6 +464,8 @@ class FusedTransfer:
                     est += rows * wp * st.cin * 4         # f32 transform temp
                 if has_skip:
                     est += 2 * (rows + th) * wp * LANE * 2
+                if has_w:
+                    est += 2 * rows * wp * st.cin * 2     # weight-mip ring
                 if est <= 12 * 2 ** 20 or th == 1:
                     return th
             return 1
@@ -445,15 +478,20 @@ class FusedTransfer:
             first_shift = -st.lo_y
             last_shift = st.ph - 1 + st.lo_y
             has_skip = st.skip_in is not None or st.skip_out is not None
+            has_w = self.dual and st.in_affine and st.w_src is not None
             has_transform = (st.in_affine or st.in_relu
                              or st.skip_in is not None)
 
             def body(*scratch):
-                if has_skip:
-                    (temp, stag, kbuf, outb, skip_stag, skip_outb,
-                     insem, outsem, sksem, sosem) = scratch
-                else:
-                    temp, stag, kbuf, outb, insem, outsem = scratch
+                it = iter(scratch)
+                temp, stag, kbuf, outb = (next(it) for _ in range(4))
+                skip_stag = next(it) if has_skip else None
+                skip_outb = next(it) if has_skip else None
+                w_stag = next(it) if has_w else None
+                insem, outsem = next(it), next(it)
+                sksem = next(it) if has_skip else None
+                sosem = next(it) if has_skip else None
+                wsem = next(it) if has_w else None
                 cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
                 cp.start()
 
@@ -474,6 +512,15 @@ class FusedTransfer:
                         buf[st.skip_in].at[pl.ds(s, rows)],
                         skip_stag.at[slot], sksem.at[slot])
 
+                def w_dma(slot, i):
+                    # same clamped row window as in_dma: the weight map blends
+                    # the halo rows too (they are real activations here)
+                    w0 = i * th + st.lo_y
+                    s = jnp.clip(w0, 0, hp - rows)
+                    return pltpu.make_async_copy(
+                        buf[st.w_src].at[pl.ds(s, rows), :, pl.ds(0, st.cin)],
+                        w_stag.at[slot], wsem.at[slot])
+
                 def out_dma(slot, i):
                     return pltpu.make_async_copy(
                         outb.at[slot],
@@ -491,6 +538,8 @@ class FusedTransfer:
                 in_dma(0, 0).start()
                 if st.skip_in is not None:
                     skip_dma(0, 0).start()
+                if has_w:
+                    w_dma(0, 0).start()
                 cp.wait()
 
                 def band(i, _):
@@ -506,6 +555,11 @@ class FusedTransfer:
                         def _():
                             skip_dma(nxt, i + 1).start()
 
+                    if has_w:
+                        @pl.when(i + 1 < nb)
+                        def _():
+                            w_dma(nxt, i + 1).start()
+
                     in_dma(slot, i).wait()
 
                     if has_transform:
@@ -520,7 +574,16 @@ class FusedTransfer:
                                 1, 1, st.cin).astype(jnp.bfloat16)
                             b = affine_sc[1:2, :st.cin].reshape(
                                 1, 1, st.cin).astype(jnp.bfloat16)
-                            x = x * a + b
+                            if has_w:
+                                da = affine_sc[2:3, :st.cin].reshape(
+                                    1, 1, st.cin).astype(jnp.bfloat16)
+                                db = affine_sc[3:4, :st.cin].reshape(
+                                    1, 1, st.cin).astype(jnp.bfloat16)
+                                w_dma(slot, i).wait()
+                                wv = w_stag[slot]
+                                x = (x * a + b) + wv * (x * da + db)
+                            else:
+                                x = x * a + b
                         if st.in_relu:
                             x = jnp.maximum(x, jnp.bfloat16(0.0))
                         if st.skip_in is not None:
@@ -641,6 +704,12 @@ class FusedTransfer:
                     b = style_tbl[st.style_slot, 1:2, :gw] - mean * a
                     affine_sc[0:1, :gw] = a
                     affine_sc[1:2, :gw] = b
+                    if self.dual:
+                        # per-pixel blend a0 + w*(a1-a0): store the deltas
+                        a1 = style_tbl[st.style_slot, 2:3, :gw] * inv
+                        b1 = style_tbl[st.style_slot, 3:4, :gw] - mean * a1
+                        affine_sc[2:3, :gw] = a1 - a
+                        affine_sc[3:4, :gw] = b1 - b
 
             scratch = [
                 pltpu.VMEM((rows, wpad, st.cin), jnp.bfloat16),
@@ -653,6 +722,8 @@ class FusedTransfer:
                     pltpu.VMEM((2, rows, wp, LANE), jnp.bfloat16),
                     pltpu.VMEM((2, th, wp, LANE), jnp.bfloat16),
                 ]
+            if has_w:
+                scratch += [pltpu.VMEM((2, rows, wp, st.cin), jnp.bfloat16)]
             scratch += [
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -662,18 +733,32 @@ class FusedTransfer:
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]
+            if has_w:
+                scratch += [pltpu.SemaphoreType.DMA((2,))]
             pl.run_scoped(body, *scratch)
 
         def run_pointwise(st: _Stage):
             th = self.th
             nb = hp // th
+            has_w = self.dual and st.in_affine and st.w_src is not None
 
-            def body(stag, outb, dsem):
+            def body(*scratch):
+                it = iter(scratch)
+                stag, outb = next(it), next(it)
+                w_stag = next(it) if has_w else None
+                dsem = next(it)
+                wsem = next(it) if has_w else None
+
                 def band(i, _):
                     cp_in = pltpu.make_async_copy(
                         buf[st.src].at[pl.ds(i * th, th), :, pl.ds(0, LANE)],
                         stag, dsem)
                     cp_in.start()
+                    if has_w:
+                        cp_w = pltpu.make_async_copy(
+                            buf[st.w_src].at[pl.ds(i * th, th)], w_stag, wsem)
+                        cp_w.start()
+                        cp_w.wait()
                     cp_in.wait()
                     # affine in bf16; sigmoid stays f32 (Mosaic cannot lower
                     # bf16 logistic: f32 scalar broadcast verification error)
@@ -682,7 +767,14 @@ class FusedTransfer:
                         1, 1, LANE).astype(jnp.bfloat16)
                     b = affine_sc[1:2, :LANE].reshape(
                         1, 1, LANE).astype(jnp.bfloat16)
-                    y = (x * a + b).astype(jnp.float32)
+                    xb = x * a + b
+                    if has_w:
+                        da = affine_sc[2:3, :LANE].reshape(
+                            1, 1, LANE).astype(jnp.bfloat16)
+                        db = affine_sc[3:4, :LANE].reshape(
+                            1, 1, LANE).astype(jnp.bfloat16)
+                        xb = xb + w_stag[...] * (x * da + db)
+                    y = xb.astype(jnp.float32)
                     outb[...] = jax.nn.sigmoid(y).astype(jnp.bfloat16)
                     cp_out = pltpu.make_async_copy(
                         outb, buf[st.dst].at[pl.ds(i * th, th)], dsem)
@@ -692,12 +784,16 @@ class FusedTransfer:
 
                 jax.lax.fori_loop(0, nb, band, 0)
 
-            pl.run_scoped(
-                body,
+            scratch = [
                 pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
                 pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA(()),
-            )
+            ]
+            if has_w:
+                scratch += [pltpu.VMEM((th, wp, LANE), jnp.bfloat16)]
+            scratch += [pltpu.SemaphoreType.DMA(())]
+            if has_w:
+                scratch += [pltpu.SemaphoreType.DMA(())]
+            pl.run_scoped(body, *scratch)
 
         ki = 0
         stages = self.stages
@@ -712,7 +808,46 @@ class FusedTransfer:
 
     # ---- jitted forward -----------------------------------------------------
 
-    def _forward_raw(self, content, style_params):
+    def _weight_maps(self, style_weights):
+        """Per-pixel style-1 weight, packed to the uniform grid and expanded
+        to each consumer stage's padded packed channel count (HBM inputs).
+
+        ``wB`` blends the bottleneck-resolution CINs (res core + e0 input),
+        ``wE0``/``wE1`` the expand CINs, ``wFin`` the final sigmoid CIN —
+        matching the reference's width-keyed mip pyramid
+        (``styleTransfer.py:335-345``).
+        """
+        from ...ops.image_ops import style_weight_mips
+        from ...ops.style_params import concat_implicit_weight
+        from ..packed_conv import pack
+
+        hp, wp = self.hp, self.wp
+        plan = self.plan
+        filters = plan.bottleneck_num_filters
+        e0_f = plan.expand_blocks[0][0]
+        e1_f = plan.expand_blocks[1][0]
+        fin_f = plan.expand_blocks[2][0]
+
+        full = concat_implicit_weight(style_weights.astype(jnp.float32))
+        mips = style_weight_mips(full, plan.num_mips)
+
+        def expand(w_packed, c):
+            rep = jnp.repeat(w_packed, c, axis=-1)
+            pad = _round_up(rep.shape[-1], LANE) - rep.shape[-1]
+            out = jnp.pad(rep, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            return out[0].astype(jnp.bfloat16)
+
+        w_b = mips[wp][..., 1:2]                      # (1, hp, wp, 1)
+        w_e0 = pack(mips[2 * wp][..., 1:2], 2)        # (1, hp, wp, 4)
+        w_hi = pack(mips[4 * wp][..., 1:2], 4)        # (1, hp, wp, 16)
+        return (
+            expand(w_b, _round_up(filters, LANE)),    # res core + e0 input
+            expand(w_e0, e0_f),                       # e1 input (4*e0_f ch)
+            expand(w_hi, e1_f),                       # final input (16*e1_f)
+            expand(w_hi, fin_f),                      # finish (16*fin_f ch)
+        )
+
+    def _forward_raw(self, content, style_params, style_weights=None):
         """All kernel outputs (out, actA, actB, skipA, skipB) — debug/bisect."""
         from ..packed_conv import pack
 
@@ -721,7 +856,12 @@ class FusedTransfer:
         c_packed = p.shape[-1]
         c_pad = _round_up(c_packed, LANE)
         p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_packed)))[0]
-        style_tbl = self._style_table(style_params.reshape(-1))
+        style_tbl = self._style_table(style_params)
+        w_inputs = ()
+        if self.dual:
+            if style_weights is None:
+                raise ValueError("style_weights required for dual-style")
+            w_inputs = self._weight_maps(style_weights)
 
         out_shapes = (
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # out
@@ -730,12 +870,12 @@ class FusedTransfer:
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipA
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipB
         )
-        n_inputs = 1 + len(self._kernels) + 6
         results = pl.pallas_call(
             self._kernel_fn,
             in_specs=(
                 [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                + [pl.BlockSpec(memory_space=pl.ANY)] * len(w_inputs)
             ),
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
@@ -743,27 +883,32 @@ class FusedTransfer:
             out_shape=out_shapes,
             scratch_shapes=[
                 pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
-                pltpu.VMEM((2, STATS_C), jnp.float32),   # affine
+                pltpu.VMEM((4, STATS_C), jnp.float32),   # affine (+ deltas)
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(p, *self._kernels, self._biases, self._contract, style_tbl,
-          self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"])
+          self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"], *w_inputs)
         return results
 
-    def _forward(self, content, style_params):
+    def _forward(self, content, style_params, style_weights=None):
         from ..packed_conv import unpack
 
         fin_f = self.plan.expand_blocks[-1][0]
-        results = self._forward_raw(content, style_params)
+        results = self._forward_raw(content, style_params, style_weights)
         out = results[0][None, :, :, :16 * fin_f]
         return unpack(out, 4, fin_f).astype(jnp.float32)
 
-    def __call__(self, content: jnp.ndarray,
-                 style_params: jnp.ndarray) -> jnp.ndarray:
-        """content (1, H, W, C) f32; style_params (1, 1, P) or (P,)."""
+    def __call__(self, content: jnp.ndarray, style_params: jnp.ndarray,
+                 style_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """content (1, H, W, C) f32; style_params (1, S, P) or (P,);
+        style_weights (1, H, W, S-1) required when dual."""
         if content.shape[0] != 1:
             raise ValueError("fused kernel runs batch 1 per call")
+        if self.dual:
+            if style_weights is None:
+                raise ValueError("style_weights required for dual-style")
+            return self._jitted(content, style_params, style_weights)
         return self._jitted(content, style_params)

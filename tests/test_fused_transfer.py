@@ -105,3 +105,45 @@ def test_fused_rejects_unsupported_plans(flagship_tiny):
                       bottleneck_num_filters=4, num_channels=3, hdr=False)
     with pytest.raises(ValueError, match="flagship"):
         FusedTransfer(variables, plan_from_config(bad))
+
+
+def test_fused_dual_style_matches_packed(rng):
+    """Dual-style fused kernel == packed path: per-pixel blended CIN affines
+    streamed through the weight-mip DMA ring (reference
+    ``styleTransfer.py:36-44,288-345``)."""
+    from realtime_style_transfer_tpu.models.transfer_packed import (
+        stylize_packed,
+    )
+
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True,
+                      num_styles=2)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=2)
+    rng = np.random.default_rng(29)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 2, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    weights = jnp.asarray(
+        rng.random((1,) + cfg.style_weights_shape).astype(np.float32))
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(5), content, style_params, style_weights=weights,
+        train=False)
+    want = np.asarray(jax.jit(
+        lambda v, c, p, w: stylize_packed(v, c, p, w, plan=plan,
+                                          dtype=jnp.bfloat16)
+    )(variables, content, style_params, weights), np.float32)
+    fused = FusedTransfer(variables, plan, num_styles=2, interpret=True)
+    got = np.asarray(fused(content, style_params, weights), np.float32)
+    assert got.shape == want.shape == (1,) + cfg.output_shape
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+    assert np.median(np.abs(got - want)) < 5e-3
+
+    # degenerate all-zero weight map == single-style with style 0
+    single = FusedTransfer(variables, plan, interpret=True)
+    base = np.asarray(single(content, style_params[:, :1]), np.float32)
+    blend0 = np.asarray(
+        fused(content, style_params, jnp.zeros_like(weights)), np.float32)
+    np.testing.assert_allclose(blend0, base, rtol=0.02, atol=0.01)
