@@ -388,6 +388,16 @@ class FusedTransfer:
             + [("e0", e0_f, 4), ("e1", e1_f, 16), ("fin", fin_f, 16)]
         )
         self.stages = tuple(stages)
+        # Packed transpose/stride kernels have structurally all-zero (dy, dx)
+        # tap matrices (tap classes that land outside the merged extent); the
+        # tap loop skips them (host-known, exactness-preserving).  e0 drops
+        # 9 -> 5 taps, c1/c2 keep 4/4, stem keeps 9.
+        self._taps = [
+            [(dy, dx)
+             for dy in range(k.shape[0]) for dx in range(k.shape[1])
+             if np.any(k[dy, dx])]
+            for k in kernels
+        ]
         self._kernels = [jnp.asarray(k, jnp.bfloat16) for k in kernels]
         self._biases = jnp.asarray(np.stack(biases), jnp.float32)
         self._contract = jnp.asarray(np.stack(contract_rows), jnp.float32)
@@ -637,11 +647,15 @@ class FusedTransfer:
                                 (last_shift, wp, st.cin), temp.dtype)
 
                     # dx-major tap matmuls: one W-shifted slab copy per dx
-                    # (contiguous in (row, W)), then dy slices reshape for free
+                    # (contiguous in (row, W)), then dy slices reshape for
+                    # free; all-zero tap matrices are skipped entirely
+                    taps = self._taps[si]
                     acc = jnp.zeros((th * wp, st.cout), jnp.float32)
-                    for dx in range(st.pw):
+                    for dx in sorted(set(d for _, d in taps)):
                         slab = temp[:, dx:dx + wp, :]
                         for dy in range(st.ph):
+                            if (dy, dx) not in taps:
+                                continue
                             patch = slab[dy:dy + th].reshape(th * wp, st.cin)
                             acc += jnp.dot(patch, kbuf[dy, dx],
                                            preferred_element_type=jnp.float32)
