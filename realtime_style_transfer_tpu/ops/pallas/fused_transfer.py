@@ -388,16 +388,34 @@ class FusedTransfer:
             + [("e0", e0_f, 4), ("e1", e1_f, 16), ("fin", fin_f, 16)]
         )
         self.stages = tuple(stages)
-        # Packed transpose/stride kernels have structurally all-zero (dy, dx)
-        # tap matrices (tap classes that land outside the merged extent); the
-        # tap loop skips them (host-known, exactness-preserving).  e0 drops
-        # 9 -> 5 taps, c1/c2 keep 4/4, stem keeps 9.
-        self._taps = [
-            [(dy, dx)
-             for dy in range(k.shape[0]) for dx in range(k.shape[1])
-             if np.any(k[dy, dx])]
-            for k in kernels
-        ]
+        # Packed kernels are structurally sparse at two granularities, both
+        # host-known and exactness-preserving to skip:
+        #  - whole (dy, dx) tap matrices that are all-zero (transpose packing
+        #    leaves 5 of 9 slots empty in e0/e1);
+        #  - 128-row cin chunks of a tap that are all-zero (stride packing
+        #    zeroes input-subpixel groups per tap: c1 keeps 1/4 on two taps,
+        #    the stem's channel padding zeroes one chunk on three taps).
+        # The MXU contracts in 128 chunks, so skipping them is free speedup.
+        self._taps = []
+        for k in kernels:
+            tap_chunks = {}
+            n_chunks = k.shape[2] // LANE
+            for dy in range(k.shape[0]):
+                for dx in range(k.shape[1]):
+                    nz = [c for c in range(n_chunks)
+                          if np.any(k[dy, dx, c * LANE:(c + 1) * LANE])]
+                    if not nz:
+                        continue
+                    # merge into contiguous (c0, c1) LANE-row ranges
+                    ranges, start, prev = [], nz[0], nz[0]
+                    for c in nz[1:]:
+                        if c != prev + 1:
+                            ranges.append((start * LANE, (prev + 1) * LANE))
+                            start = c
+                        prev = c
+                    ranges.append((start * LANE, (prev + 1) * LANE))
+                    tap_chunks[(dy, dx)] = ranges
+            self._taps.append(tap_chunks)
         self._kernels = [jnp.asarray(k, jnp.bfloat16) for k in kernels]
         self._biases = jnp.asarray(np.stack(biases), jnp.float32)
         self._contract = jnp.asarray(np.stack(contract_rows), jnp.float32)
@@ -648,7 +666,7 @@ class FusedTransfer:
 
                     # dx-major tap matmuls: one W-shifted slab copy per dx
                     # (contiguous in (row, W)), then dy slices reshape for
-                    # free; all-zero tap matrices are skipped entirely
+                    # free; structurally-zero taps and cin chunks are skipped
                     taps = self._taps[si]
                     acc = jnp.zeros((th * wp, st.cout), jnp.float32)
                     for dx in sorted(set(d for _, d in taps)):
@@ -657,8 +675,10 @@ class FusedTransfer:
                             if (dy, dx) not in taps:
                                 continue
                             patch = slab[dy:dy + th].reshape(th * wp, st.cin)
-                            acc += jnp.dot(patch, kbuf[dy, dx],
-                                           preferred_element_type=jnp.float32)
+                            for c0, c1 in taps[(dy, dx)]:
+                                acc += jnp.dot(
+                                    patch[:, c0:c1], kbuf[dy, dx, c0:c1],
+                                    preferred_element_type=jnp.float32)
                     bias = bias_tbl[si:si + 1, :st.cout]
                     if st.epi == "contract":
                         acc = jnp.maximum(acc + bias, 0.0)
