@@ -164,7 +164,10 @@ def main():
 
         fused = FusedTransfer(jax.device_get(variables), plan,
                               num_styles=config.num_styles)
-        stylize = lambda v, c, p: fused(c, p, weights)  # noqa: E731
+        # Style table + weight mips are loop-invariant: build them once and
+        # skip the per-frame rebuild (reference :77-80 precomputes the same).
+        prepared = fused.prepare_style(style_params, weights)
+        stylize = lambda v, c, p: fused.stylize_prepared(c, prepared)  # noqa: E731
     elif path == "packed":
         from realtime_style_transfer_tpu.models.transfer_packed import (
             stylize_packed,

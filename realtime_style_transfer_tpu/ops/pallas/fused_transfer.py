@@ -421,6 +421,8 @@ class FusedTransfer:
         self._contract = jnp.asarray(np.stack(contract_rows), jnp.float32)
         self._g_jnp = {k: jnp.asarray(v) for k, v in self._g.items()}
         self._jitted = jax.jit(self._forward)
+        self._jitted_prepared = jax.jit(self._forward_prepared)
+        self._jit_prepare = jax.jit(self._prepare)
 
     # ---- style table (per call; tiny jnp ops under jit) -------------------
 
@@ -881,8 +883,26 @@ class FusedTransfer:
             expand(w_hi, fin_f),                      # finish (16*fin_f ch)
         )
 
+    def _prepare(self, style_params, style_weights=None):
+        """Per-style device constants: the tiled scale/bias table and (dual)
+        the packed weight-mip inputs.  Loop-invariant across a frame stream —
+        compute once via :meth:`prepare_style` (the reference's video loop
+        precomputes style params the same way,
+        ``predict_video_using_checkpoint.py:77-80``)."""
+        style_tbl = self._style_table(style_params)
+        w_inputs = ()
+        if self.dual:
+            if style_weights is None:
+                raise ValueError("style_weights required for dual-style")
+            w_inputs = self._weight_maps(style_weights)
+        return (style_tbl,) + tuple(w_inputs)
+
     def _forward_raw(self, content, style_params, style_weights=None):
         """All kernel outputs (out, actA, actB, skipA, skipB) — debug/bisect."""
+        return self._run_raw(
+            content, self._prepare(style_params, style_weights))
+
+    def _run_raw(self, content, prepared):
         from ..packed_conv import pack
 
         hp, wp = self.hp, self.wp
@@ -890,12 +910,7 @@ class FusedTransfer:
         c_packed = p.shape[-1]
         c_pad = _round_up(c_packed, LANE)
         p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_packed)))[0]
-        style_tbl = self._style_table(style_params)
-        w_inputs = ()
-        if self.dual:
-            if style_weights is None:
-                raise ValueError("style_weights required for dual-style")
-            w_inputs = self._weight_maps(style_weights)
+        style_tbl, *w_inputs = prepared
 
         out_shapes = (
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # out
@@ -927,13 +942,32 @@ class FusedTransfer:
           self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"], *w_inputs)
         return results
 
-    def _forward(self, content, style_params, style_weights=None):
+    def _unpack_out(self, results):
         from ..packed_conv import unpack
 
         fin_f = self.plan.expand_blocks[-1][0]
-        results = self._forward_raw(content, style_params, style_weights)
         out = results[0][None, :, :, :16 * fin_f]
         return unpack(out, 4, fin_f).astype(jnp.float32)
+
+    def _forward(self, content, style_params, style_weights=None):
+        return self._unpack_out(
+            self._forward_raw(content, style_params, style_weights))
+
+    def _forward_prepared(self, content, prepared):
+        return self._unpack_out(self._run_raw(content, prepared))
+
+    def prepare_style(self, style_params, style_weights=None):
+        """Precompute the per-style kernel inputs for a frame stream."""
+        if self.dual and style_weights is None:
+            raise ValueError("style_weights required for dual-style")
+        return self._jit_prepare(style_params, style_weights)
+
+    def stylize_prepared(self, content: jnp.ndarray, prepared) -> jnp.ndarray:
+        """Per-frame call with :meth:`prepare_style` output (streaming path:
+        skips rebuilding the style table / weight mips every frame)."""
+        if content.shape[0] != 1:
+            raise ValueError("fused kernel runs batch 1 per call")
+        return self._jitted_prepared(content, prepared)
 
     def __call__(self, content: jnp.ndarray, style_params: jnp.ndarray,
                  style_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:

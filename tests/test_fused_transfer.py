@@ -147,3 +147,15 @@ def test_fused_dual_style_matches_packed(rng):
     blend0 = np.asarray(
         fused(content, style_params, jnp.zeros_like(weights)), np.float32)
     np.testing.assert_allclose(blend0, base, rtol=0.02, atol=0.01)
+
+
+def test_prepared_style_path_matches_direct(flagship_tiny):
+    """prepare_style + stylize_prepared == the direct call (streaming path
+    hoists the loop-invariant style table out of the frame loop)."""
+    _cfg, plan, _net, variables, content, style_params = flagship_tiny
+    fused = FusedTransfer(variables, plan, interpret=True)
+    direct = np.asarray(fused(content, style_params), np.float32)
+    prepared = fused.prepare_style(style_params)
+    streamed = np.asarray(
+        fused.stylize_prepared(content, prepared), np.float32)
+    np.testing.assert_array_equal(direct, streamed)
