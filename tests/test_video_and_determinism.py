@@ -106,3 +106,28 @@ def test_training_init_is_seed_deterministic():
     flat3 = jax.tree.leaves(s3.params)
     assert all(np.array_equal(a, b) for a, b in zip(flat1, flat2))
     assert any(not np.array_equal(a, b) for a, b in zip(flat1, flat3))
+
+
+@pytest.mark.cli
+def test_predict_video_dual_style(frames_and_run, tmp_path):
+    """Dual-style streaming: repeated -s plus a -w weight map (framework
+    extension of the reference's single-style video loop; the fused TPU path
+    has the same signature, CPU falls back to packed)."""
+    root, run = frames_and_run
+    wm = tmp_path / "weights.png"
+    grad = np.tile(np.linspace(0, 255, 120, dtype=np.uint8), (60, 1))
+    PIL.Image.fromarray(grad, mode="L").save(wm)
+    out = tmp_path / "dual.mp4"
+    run_cli(
+        "predict_video_using_checkpoint.py",
+        "--network_spec", SPEC, "--sdr", "--dtype", "float32",
+        "-C", run,
+        "-s", root / "style" / "validation" / "0.png",
+        "-s", root / "style" / "validation" / "1.png",
+        "-w", wm,
+        "--frames_dir", root / "content" / "validation",
+        "-o", out, "--max_frames", "1",
+    )
+    frames = sorted((tmp_path / "dual").glob("frame_*.png"))
+    assert len(frames) == 1
+    assert np.asarray(PIL.Image.open(frames[0])).shape == (60, 120, 3)
