@@ -27,7 +27,17 @@ Prints ONE JSON line: frames/sec vs the reference's 50 FPS headline
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent compile cache: the fused kernel's cold Mosaic compile is the
+# long pole of this script; make every invocation (driver included) share the
+# repo cache without relying on shell exports.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -79,9 +89,6 @@ def main() -> None:
         def apply_stylize(variables, content, style_params):
             del variables  # weights are baked into the fused kernel
             return fused._forward(content, style_params)
-
-        # one real frame through the kernel before committing to it
-        jax.device_get(jax.jit(apply_stylize)(None, content, style_params))
     except Exception as exc:  # noqa: BLE001 - any Mosaic/compile failure
         import sys
 
@@ -98,37 +105,59 @@ def main() -> None:
                 dtype=jnp.bfloat16,
             )
 
-    def make_stream(k):
-        def frame_stream(variables, content, style_params):
-            def step(carry, _):
-                out = apply_stylize(variables, carry, style_params)
-                # Write the frame's mean into one content pixel: a true
-                # inter-frame dependency (no overlap/elision) with none of the
-                # full-frame copy cost the real frame stream doesn't have.
-                m = jnp.mean(out).astype(carry.dtype)
-                carry = jax.lax.dynamic_update_slice(
-                    carry, m[None, None, None, None], (0, 0, 0, 0)
-                )
-                return carry, jnp.mean(out)
-            _, means = jax.lax.scan(step, content, None, length=k)
-            return jnp.sum(means)
+    # One executable for BOTH scan lengths: the frame count is a runtime
+    # fori_loop bound, so the expensive (Mosaic) kernel compiles once — this
+    # halves the cold-cache compile time, which must fit the driver's budget.
+    def frame_stream(variables, content, style_params, k):
+        def body(_i, carry):
+            content, acc = carry
+            out = apply_stylize(variables, content, style_params)
+            # Write the frame's mean into one content pixel: a true
+            # inter-frame dependency (no overlap/elision) with none of the
+            # full-frame copy cost the real frame stream doesn't have.
+            m = jnp.mean(out)
+            content = jax.lax.dynamic_update_slice(
+                content, m.astype(content.dtype)[None, None, None, None],
+                (0, 0, 0, 0)
+            )
+            return content, acc + m
+        _, acc = jax.lax.fori_loop(0, k, body, (content, jnp.float32(0.0)))
+        return acc
+
+    stream = jax.jit(frame_stream)
+    try:
+        float(jax.device_get(stream(variables, content, style_params, 2)))
+    except Exception as exc:  # noqa: BLE001 - Mosaic lowering failure
+        if path != "fused":
+            raise
+        import sys
+
+        print(f"fused kernel failed to compile ({exc!r}); falling back to "
+              "packed", file=sys.stderr)
+        path = "packed"
+        from realtime_style_transfer_tpu.models.transfer_packed import (
+            stylize_packed,
+        )
+
+        def apply_stylize(variables, content, style_params):  # noqa: F811
+            return stylize_packed(
+                variables, content, style_params, plan=plan,
+                dtype=jnp.bfloat16,
+            )
 
         stream = jax.jit(frame_stream)
-        float(jax.device_get(stream(variables, content, style_params)))  # warm
-        return stream
+        float(jax.device_get(stream(variables, content, style_params, 2)))
 
-    def best_elapsed(stream):
+    def best_elapsed(k):
         best = float("inf")
         for _ in range(TRIALS):
             t0 = time.perf_counter()
-            float(jax.device_get(stream(variables, content, style_params)))
+            float(jax.device_get(stream(variables, content, style_params, k)))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    short = make_stream(K_SHORT)
-    long = make_stream(K_LONG)
-    t_short = best_elapsed(short)
-    t_long = best_elapsed(long)
+    t_short = best_elapsed(K_SHORT)
+    t_long = best_elapsed(K_LONG)
     p50 = (t_long - t_short) / (K_LONG - K_SHORT)
     fps = 1.0 / p50
     print(
