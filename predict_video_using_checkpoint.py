@@ -133,10 +133,12 @@ def main():
     # Static per-pixel weight map for dual-style streaming (framework
     # extension; the reference video loop is single-style).
     weights = None
+    if config.num_styles == 1 and args.style_weights is not None:
+        raise SystemExit(
+            "-w/--style_weights needs at least two -s styles to blend"
+        )
     if config.num_styles > 1:
         if args.style_weights is not None:
-            from realtime_style_transfer_tpu.data.imaging import load_image
-
             wm = load_image(
                 args.style_weights,
                 config.output_dimensions + (config.num_styles - 1,),
@@ -153,6 +155,7 @@ def main():
         fused_ok = (
             plan.num_contract_blocks == 2 and plan.num_expand_blocks == 2
             and (plan.input_shape[1] // 4) % 8 == 0
+            and config.num_styles <= 2
             and jax.devices()[0].platform not in ("cpu",)
         )
         path = "fused" if fused_ok else "packed"
