@@ -1,5 +1,10 @@
 """Fused Pallas TPU kernels for conditional instance normalization.
 
+STATUS: superseded research kernel.  Measured faster standalone but slower
+in-net (the custom-call boundary forfeits XLA producer/consumer fusion;
+ROADMAP "r1 Pallas findings"), so it ships opt-in (``use_pallas=True``); the
+production Pallas path is the whole-net kernel in ``fused_transfer.py``.
+
 The CIN sites are the transfer net's hottest non-conv op (12 sites/frame; 10 at the
 bottleneck where (H, W, C) = (120, 240, 128)).  Two kernels, both tiled over H so
 every block fits v5e's 16 MB scoped VMEM:

@@ -1,5 +1,10 @@
 """Pallas conv-as-tap-matmuls kernel with halo DMA (VALID, stride 1, NHWC).
 
+STATUS: superseded research kernel (kept standalone-tested): faster than the
+XLA conv in isolation but slower in-net (ROADMAP "r1 Pallas findings"); the
+production Pallas path is the whole-net kernel in ``fused_transfer.py``,
+which reuses this kernel's band/halo-DMA and tap-matmul design.
+
 For packed-layout convs the contraction per output pixel is big (e.g. the packed
 stem: 5x5x68 -> 128) and XLA's conv scheduling leaves MXU throughput on the
 table.  This kernel tiles the output rows, DMAs each input tile PLUS its halo
