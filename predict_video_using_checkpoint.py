@@ -155,6 +155,7 @@ def main():
         fused_ok = (
             plan.num_contract_blocks == 2 and plan.num_expand_blocks == 2
             and (plan.input_shape[1] // 4) % 8 == 0
+            and plan.bottleneck_num_filters <= 128
             and config.num_styles <= 2
             and jax.devices()[0].platform not in ("cpu",)
         )

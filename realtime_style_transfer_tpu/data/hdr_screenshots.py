@@ -64,6 +64,24 @@ def load_unreal_hdr_screenshot(
     return np.ascontiguousarray(np.moveaxis(planes, 0, -1))
 
 
+def load_preprocessed_gbuffer(
+    png: Path,
+    channels: Sequence[Tuple[str, int]],
+    content_shape: Sequence[int],
+    num_threads: int = 4,
+) -> np.ndarray:
+    """One screenshot set, stacked + cover-resized/cropped + channel-checked
+    (shared by the streaming iterator and the wikiart content datasets)."""
+    stacked = load_unreal_hdr_screenshot(png, channels, num_threads=num_threads)
+    content = preprocess_numpy_image(stacked, content_shape)
+    if content.shape[-1] != content_shape[-1]:
+        raise ValueError(
+            f"{png}: stacked {content.shape[-1]} channels, config "
+            f"wants {content_shape[-1]}"
+        )
+    return content
+
+
 def iter_hdr_screenshots(
     screenshot_pngs: Sequence[Path],
     channels: Sequence[Tuple[str, int]],
@@ -81,15 +99,9 @@ def iter_hdr_screenshots(
     """
     for png in screenshot_pngs:
         try:
-            stacked = load_unreal_hdr_screenshot(
-                png, channels, num_threads=num_threads
+            content = load_preprocessed_gbuffer(
+                png, channels, content_shape, num_threads=num_threads
             )
-            content = preprocess_numpy_image(stacked, content_shape)
-            if content.shape[-1] != content_shape[-1]:
-                raise ValueError(
-                    f"{png}: stacked {content.shape[-1]} channels, config "
-                    f"wants {content_shape[-1]}"
-                )
             if output_shape is not None:
                 ground_truth = load_image(png, output_shape)
                 yield content, ground_truth

@@ -280,14 +280,20 @@ class DevicePrefetcher:
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+        self._finished = False
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._finished:
+            # the end/error sentinel is single-shot; keep raising instead of
+            # blocking forever on the finished worker's empty queue
+            raise StopIteration
         kind, value = self._queue.get()
         if kind == "item":
             return value
+        self._finished = True
         if kind == "error":
             raise value
         raise StopIteration

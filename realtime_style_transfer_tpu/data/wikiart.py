@@ -183,19 +183,14 @@ def _content_dataset(
     content_shape = config.content_shape
     output_shape = config.output_shape
     if channels is not None:
-        from .hdr_screenshots import load_unreal_hdr_screenshot
-        from .imaging import preprocess_numpy_image
+        from .hdr_screenshots import load_preprocessed_gbuffer
 
         items = [str(p) for p in sorted(Path(subset_dir).glob("*.png"))]
 
         def loader(png_path: str):
-            stacked = load_unreal_hdr_screenshot(Path(png_path), channels)
-            content = preprocess_numpy_image(stacked, content_shape)
-            if content.shape[-1] != content_shape[-1]:
-                raise ValueError(
-                    f"{png_path}: {content.shape[-1]} channels, config wants "
-                    f"{content_shape[-1]}"
-                )
+            content = load_preprocessed_gbuffer(
+                Path(png_path), channels, content_shape
+            )
             return content, load_image(png_path, output_shape)
 
     else:
@@ -207,7 +202,12 @@ def _content_dataset(
                 return content, content
             return content, load_image(path, output_shape)
 
-    cache = Path(cache_dir) / tag if cache_dir is not None else None
+    # Shape-keyed cache subdir (reference ``wikiart.py:190-193``'s
+    # name_suffix): a shared --cache_dir across network specs must never
+    # serve tensors decoded for a different shape.
+    suffix = "_".join(map(str, (*content_shape, *output_shape)))
+    cache = Path(cache_dir) / f"{tag}_{suffix}" if cache_dir is not None \
+        else None
     return pipeline.IndexedDataset(items, loader, cache_dir=cache)
 
 
@@ -222,7 +222,9 @@ def _style_dataset(
     def loader(path: str):
         return load_image(path, output_shape)
 
-    cache = Path(cache_dir) / tag if cache_dir is not None else None
+    suffix = "_".join(map(str, output_shape))
+    cache = Path(cache_dir) / f"{tag}_{suffix}" if cache_dir is not None \
+        else None
     return pipeline.IndexedDataset(
         [str(p) for p in style_paths], loader, cache_dir=cache
     )
@@ -287,7 +289,11 @@ def get_dataset(
     content_dir = Path(content_dir)
     if style_paths is None:
         init_dataset()
-        style_paths = style_filepaths(seed=seed)
+        # un-shuffled here: split_train_validation applies the reference's
+        # SINGLE seeded shuffle (sorted -> one Random(seed).shuffle -> cut,
+        # ``wikiart.py:161-167``); shuffling twice with the same seed would
+        # produce a different split than the reference for the same corpus.
+        style_paths = style_filepaths()
     train_styles, val_styles = pipeline.split_train_validation(
         list(style_paths), seed=seed
     )
@@ -354,15 +360,24 @@ def get_dataset_debug(
     80/20 training/validation layout (idempotent), and pairs them with the
     debug content directories.
     """
-    del style_paths  # debug uses the materialized debug subset layout
     training_dir = STYLE_DEBUG_IMAGE_DIR / "training"
     validation_dir = STYLE_DEBUG_IMAGE_DIR / "validation"
     for needed in (STYLE_DEBUG_IMAGE_DIR, training_dir, validation_dir):
         needed.mkdir(parents=True, exist_ok=True)
 
     existing = len(list_image_paths(STYLE_DEBUG_IMAGE_DIR))
+    if style_paths is not None and existing > 0:
+        raise ValueError(
+            "style_paths given but the debug subset is already materialized "
+            f"at {STYLE_DEBUG_IMAGE_DIR}; delete it to re-seed from "
+            "style_paths (debug mode always serves the materialized layout)"
+        )
     if existing == 0:
-        source_images = sorted(STYLE_IMAGE_DIR.iterdir())[:100]
+        source_images = (
+            sorted(Path(p) for p in style_paths)[:100]
+            if style_paths is not None
+            else sorted(STYLE_IMAGE_DIR.iterdir())[:100]
+        )
         cut = int(len(source_images) * 0.8)
         log.info(
             "copying %d debug images to %s",

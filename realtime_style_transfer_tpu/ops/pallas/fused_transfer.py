@@ -189,6 +189,12 @@ class FusedTransfer:
         if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
             raise ValueError("fused kernel supports the 2-contract/2-expand "
                              "(flagship) family; use stylize_packed otherwise")
+        if plan.bottleneck_num_filters > LANE:
+            # the residual-skip ping-pong buffers and their DMA slices are
+            # fixed at one LANE of channels
+            raise ValueError(
+                f"fused kernel supports <= {LANE} bottleneck filters "
+                f"(got {plan.bottleneck_num_filters}); use stylize_packed")
         if num_styles not in (1, 2):
             raise ValueError("fused kernel supports 1 or 2 styles "
                              "(reference blends exactly two)")

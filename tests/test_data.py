@@ -220,3 +220,16 @@ def test_tensorbuffer_shape_mismatch(tmp_path):
     write_tensor_buffer(p, np.zeros(10, np.float32))
     with pytest.raises(ValueError, match="wants"):
         read_tensor_buffer(p, (3, 5))
+
+
+def test_device_prefetcher_stopiteration_is_sticky():
+    """Exhausted (or errored) prefetchers keep raising StopIteration instead
+    of blocking forever on the finished worker's queue."""
+    pf = pipeline.DevicePrefetcher(iter([1, 2]), device_put=lambda x: x)
+    assert list(pf) == [1, 2]
+    for _ in range(3):
+        try:
+            next(pf)
+        except StopIteration:
+            continue
+        raise AssertionError("expected StopIteration")

@@ -123,3 +123,44 @@ def test_get_hdr_dataset_wrapper(fake_corpus, tmp_path):
     inputs, gt = next(iter(make_train()))
     assert inputs["content"].shape == (2,) + cfg.content_shape  # 6 channels
     assert gt["content"].shape == (2,) + cfg.output_shape       # PNG truth
+
+
+def test_get_dataset_split_uses_single_reference_shuffle(
+    fake_corpus, tmp_path, monkeypatch
+):
+    """The 80/20 style split must be sorted -> ONE Random(seed).shuffle ->
+    cut (reference ``wikiart.py:161-167``) — not shuffled twice."""
+    import random
+
+    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+                      bottleneck_num_filters=4, num_channels=3, hdr=False)
+    content_dir = tmp_path / "content"
+    for sub in ("training", "validation"):
+        d = content_dir / sub
+        d.mkdir(parents=True)
+        arr = (np.zeros((40, 80, 3)) * 255).astype(np.uint8)
+        import PIL.Image
+
+        PIL.Image.fromarray(arr).save(d / "c.png")
+
+    captured = {}
+    orig = wikiart.style_filepaths
+
+    def spy(seed=None):
+        captured["seed"] = seed
+        return orig(seed=seed)
+
+    monkeypatch.setattr(wikiart, "style_filepaths", spy)
+    wikiart.get_dataset(cfg, batch_size=1, seed=11, content_dir=content_dir)
+    # the corpus list must come back unshuffled; split applies the one shuffle
+    assert captured["seed"] is None
+
+    # and the split itself matches the reference oracle exactly
+    from realtime_style_transfer_tpu.data import pipeline as pl
+
+    paths = orig()
+    expect = list(paths)
+    random.Random(11).shuffle(expect)
+    cut = int(len(expect) * 0.8)
+    train, val = pl.split_train_validation(paths, seed=11)
+    assert (train, val) == (expect[:cut], expect[cut:])
