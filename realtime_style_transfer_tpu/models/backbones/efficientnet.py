@@ -39,6 +39,13 @@ B3_WIDTH, B3_DEPTH = 1.2, 1.4
 STYLE_TAPS_B3 = ("block2c_add", "block3c_add", "block4e_add")
 CONTENT_TAPS_B3 = ("block5e_add", "block6f_add", "block7b_add")
 
+# V2-S loss taps (framework extension; the reference's loss towers are
+# VGG16/B3/MobileNetV3 only): last unit of each of the four shallow stages
+# for multi-scale style statistics, one deep tap for content — the VGG
+# pattern applied to the V2-S stage table.
+STYLE_TAPS_V2S = ("block1b", "block2d", "block3d", "block4f")
+CONTENT_TAPS_V2S = ("block5i",)
+
 
 def round_filters(filters: float, width: float, divisor: int = 8) -> int:
     filters *= width

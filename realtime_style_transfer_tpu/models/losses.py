@@ -127,10 +127,36 @@ class EfficientNetLossExtractor(nn.Module):
         }
 
 
+class EfficientNetV2SLossExtractor(nn.Module):
+    """EfficientNetV2-S taps (framework extension beyond the reference's
+    VGG/B3/MobileNet towers; shares the predictor's backbone so one converted
+    checkpoint serves both roles).  Factors kept at the base defaults like
+    the reference's EfficientNet tower."""
+
+    dtype: jnp.dtype = jnp.float32
+    factors: LossFactors = LossFactors(1.0, 1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, images01: jnp.ndarray) -> Dict[str, Dict[str, jnp.ndarray]]:
+        from .backbones import efficientnet as effnet
+
+        x = images01 * 2.0 - 1.0  # same [-1, 1] rescale as the B3 tower
+        _, taps = effnet.EfficientNetV2S(
+            capture=effnet.STYLE_TAPS_V2S + effnet.CONTENT_TAPS_V2S,
+            dtype=self.dtype,
+            name="efficientnetv2s",
+        )(x, train=False)
+        return {
+            "content": {n: taps[n] for n in effnet.CONTENT_TAPS_V2S},
+            "style": {n: taps[n] for n in effnet.STYLE_TAPS_V2S},
+        }
+
+
 LOSS_EXTRACTORS = {
     "vgg": VGGLossExtractor,
     "mobilenet": MobileNetLossExtractor,
     "efficientnet": EfficientNetLossExtractor,
+    "efficientnet_v2s": EfficientNetV2SLossExtractor,
     "dummy": DummyLossExtractor,
 }
 

@@ -82,3 +82,30 @@ def test_predictor_efficientnet_backbone():
     )
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 10)
+
+
+def test_efficientnet_v2s_loss_extractor(image):
+    """V2-S loss tower (framework extension): taps split into content/style
+    groups with descending spatial resolution, usable by the loss builder."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_style_transfer_tpu.models.losses import (
+        EfficientNetV2SLossExtractor,
+        make_style_loss_function,
+    )
+
+    module = EfficientNetV2SLossExtractor()
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), image)
+    taps = module.apply(variables, image)
+    assert set(taps) == {"content", "style"}
+    assert len(taps["style"]) == 4 and len(taps["content"]) == 1
+    widths = [t.shape[2] for t in taps["style"].values()]
+    assert widths == sorted(widths, reverse=True)  # multi-scale
+
+    loss_fn = make_style_loss_function(
+        lambda imgs: module.apply(variables, imgs), module.factors
+    )
+    pred = jnp.clip(image + 0.1, 0, 1)
+    losses = loss_fn(pred, {"content": image, "style": image})
+    assert all(bool(jnp.isfinite(v).all()) for v in losses.values())
