@@ -159,3 +159,13 @@ def test_prepared_style_path_matches_direct(flagship_tiny):
     streamed = np.asarray(
         fused.stylize_prepared(content, prepared), np.float32)
     np.testing.assert_array_equal(direct, streamed)
+
+
+def test_fused_rejects_wide_bottleneck(flagship_tiny):
+    """Plans with >128 bottleneck filters must fail at the constructor (the
+    skip ping-pong is one LANE wide), not deep inside kernel tracing."""
+    _cfg, _plan, _net, variables, _c, _p = flagship_tiny
+    wide = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                       bottleneck_num_filters=256, num_channels=17, hdr=True)
+    with pytest.raises(ValueError, match="bottleneck filters"):
+        FusedTransfer(variables, plan_from_config(wide))
