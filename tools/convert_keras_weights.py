@@ -15,37 +15,17 @@ Step 1 (machine with tensorflow) — dump a BACKBONE to npz ::
              **{w.name: w.numpy() for layer in m.layers for w in layer.weights})
 
 or dump a trained reference TRANSFER NET (``create_style_transfer_model`` from
-``/root/reference/realtime_style_transfer/models/styleTransfer.py:213``) using the
-canonical key grammar this converter consumes (the reference builds contract
-blocks as sub-models named ``start, 0, 1, ...`` with conv layer ``{name}_conv`` +
-one BatchNormalization, residual sub-models ``0..4`` with ``{name}_conv{i}``, and
-expand sub-models ``0, 1, ..., last`` with Conv2DTranspose ``{name}_conv``) ::
-
-    import numpy as np
-    out = {}
-    contract_names = ["start"] + [str(i) for i in range(num_contract)]
-    expand_names = [str(i) for i in range(num_expand)] + ["last"]
-    for ci, name in enumerate(contract_names):
-        sub = transfer_model.get_layer(name)
-        conv = sub.get_layer(f"{name}_conv")
-        bn = next(l for l in sub.layers
-                  if isinstance(l, tf.keras.layers.BatchNormalization))
-        out[f"contract_{ci}_conv/kernel"], out[f"contract_{ci}_conv/bias"] = (
-            w.numpy() for w in conv.weights)
-        for w, k in zip(bn.weights,
-                        ["gamma", "beta", "moving_mean", "moving_variance"]):
-            out[f"contract_{ci}_bn/{k}"] = w.numpy()
-    for ri in range(5):
-        sub = transfer_model.get_layer(str(ri))
-        for ci in range(2):
-            conv = sub.get_layer(f"{ri}_conv{ci}")
-            out[f"residual_{ri}_conv{ci}/kernel"] = conv.weights[0].numpy()
-            out[f"residual_{ri}_conv{ci}/bias"] = conv.weights[1].numpy()
-    for ei, name in enumerate(expand_names):
-        conv = transfer_model.get_layer(name).get_layer(f"{name}_conv")
-        out[f"expand_{ei}_conv/kernel"] = conv.weights[0].numpy()
-        out[f"expand_{ei}_conv/bias"] = conv.weights[1].numpy()
-    np.savez("transfer_keras.npz", **out)
+``/root/reference/realtime_style_transfer/models/styleTransfer.py:213``) with
+``tools/reference_oracle.py transfer`` — it walks the reference's actual layer
+names (contract sub-models ``contract_start, contract_0, ...`` each holding conv
+``{name}_conv`` + one BatchNormalization; residual sub-models
+``residual_block_{i}`` with convs ``{name}_conv{j}``; expand sub-models
+``expand_0..expand_last`` with Conv2DTranspose ``{name}_conv``) and writes the
+key grammar this converter consumes (``contract_{i}_conv/kernel``,
+``contract_{i}_bn/gamma``, ``residual_{i}_conv{j}/kernel``,
+``expand_{i}_conv/kernel``, ...).  The whole pipeline is proven end-to-end
+against the live TF reference in ``tests/test_reference_parity.py``
+(dump -> convert -> per-pixel comparison at ~1e-6).
 
 Step 2 (here): ::
 
@@ -197,10 +177,37 @@ def convert_transfer(npz) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_predictor(npz) -> dict:
+    """Keras style-prediction model dump -> ``models.predictor.StylePredictor``.
+
+    Head convs (``StylePredictor`` / ``StyleNormPredictor``, 1x1, HWIO both
+    sides) and the dummy extractor conv map identically; a MobileNetV3-Small
+    backbone (if present in the dump) goes through :func:`convert_mobilenetv3`
+    and nests under ``backbone`` (reference ``stylePrediction.py:25-75``).
+    """
+    params: dict = {}
+    head_layers = ("StylePredictor", "StyleNormPredictor", "dummy_conv")
+    for key in npz.files:
+        layer = key.split("/", 1)[0]
+        if layer in head_layers:
+            leaf = key.rsplit("/", 1)[1].replace(":0", "")
+            params.setdefault(layer, {})[leaf] = np.asarray(npz[key])
+    for name in ("StylePredictor", "StyleNormPredictor"):
+        if name not in params:
+            raise SystemExit(f"npz is missing head conv {name}")
+    variables = {"params": params}
+    if any(key.split("/", 1)[0] not in head_layers for key in npz.files):
+        backbone = convert_mobilenetv3(npz)
+        params["backbone"] = backbone["params"]
+        variables["batch_stats"] = {"backbone": backbone["batch_stats"]}
+    return variables
+
+
 CONVERTERS = {
     "vgg16": convert_vgg16,
     "mobilenetv3": convert_mobilenetv3,
     "transfer": convert_transfer,
+    "predictor": convert_predictor,
 }
 
 
