@@ -109,3 +109,41 @@ def test_predictor_onnx_rejects_unsupported_extractor():
             {"params": {}}, style_shape=(32, 32, 3), num_top_parameters=8,
             feature_extractor="efficientnet",
         )
+
+
+def test_transfer_onnx_golden_bytes():
+    """Byte-exact golden: the emitted proto for the committed reference-fixture
+    weights must not drift (encoder regressions can't hide behind the
+    co-evolving numpy interpreter), and the IR header constants must match the
+    ONNX spec values the engine runtime expects (ir_version 8, opset 13)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from convert_keras_weights import convert_transfer
+
+    from realtime_style_transfer_tpu.models.inference import plan_from_config
+
+    golden_path = Path(__file__).parent / "golden" / "transfer_tiny_reference.onnx"
+    w = np.load(
+        Path(__file__).parent / "golden" / "reference" / "transfer_tiny"
+        / "weights.npz")
+    variables = jax.tree.map(jnp.asarray, convert_transfer(w))
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True)
+    data = export_transfer_onnx(variables, plan_from_config(cfg))
+    golden = golden_path.read_bytes()
+    assert data == golden, (
+        f"emitted ONNX bytes drifted from golden ({len(data)} vs {len(golden)})")
+
+    # spot-check spec-level field constants straight off the wire:
+    # field 1 (ir_version, varint) = 8 -> bytes 0x08 0x08
+    assert golden[:2] == b"\x08\x08"
+    # opset_import (field 8) holds OperatorSetIdProto with version (field 2) 13
+    from realtime_style_transfer_tpu.utils.proto import parse_fields
+    fields = list(parse_fields(golden))
+    opsets = [v for f, _w, v in fields if f == 8]
+    assert len(opsets) == 1
+    opset_fields = dict((f, v) for f, _w, v in parse_fields(opsets[0]))
+    assert opset_fields[2] == 13  # opset 13
+    assert opset_fields.get(1, b"") == b""  # default ai.onnx domain
