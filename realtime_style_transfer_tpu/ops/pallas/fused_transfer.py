@@ -428,6 +428,8 @@ class FusedTransfer:
         self._g_jnp = {k: jnp.asarray(v) for k, v in self._g.items()}
         self._jitted = jax.jit(self._forward)
         self._jitted_prepared = jax.jit(self._forward_prepared)
+        self._jitted_prepacked = jax.jit(
+            lambda p, prep: self._unpack_out(self._run_packed(p, prep)))
         self._jit_prepare = jax.jit(self._prepare)
 
     # ---- style table (per call; tiny jnp ops under jit) -------------------
@@ -908,14 +910,53 @@ class FusedTransfer:
         return self._run_raw(
             content, self._prepare(style_params, style_weights))
 
-    def _run_raw(self, content, prepared):
+    def pack_frame(self, content: jnp.ndarray) -> jnp.ndarray:
+        """(1, H, W, C) f32 -> the kernel's packed input (hp, wp, Cp) bf16.
+
+        The deploy path packs at the source (engine G-buffer copy-out / the
+        DevicePrefetcher worker) so the per-frame device graph is pack-free —
+        r2's bisect priced the in-XLA pack at ~0.15 ms/frame.
+        """
         from ..packed_conv import pack
 
-        hp, wp = self.hp, self.wp
         p = pack(content.astype(jnp.bfloat16), 4)  # (1, hp, wp, 16*C)
         c_packed = p.shape[-1]
         c_pad = _round_up(c_packed, LANE)
-        p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_packed)))[0]
+        return jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, c_pad - c_packed)))[0]
+
+    def pack_frame_np(self, content: np.ndarray) -> np.ndarray:
+        """Host (numpy) twin of :meth:`pack_frame` for the data plane.
+
+        Space-to-depth f4 ((1, H, W, C) -> (hp, wp, 16*C) zero-padded to a
+        lane multiple), producing the same ``ml_dtypes.bfloat16`` values the
+        device pack would — so a DevicePrefetcher worker can ship pack-free
+        frames (equality asserted in ``tests/test_fused_transfer.py``).
+        """
+        import ml_dtypes
+
+        x = np.asarray(content, np.float32)
+        n, h, w, c = x.shape
+        assert n == 1, "pack one frame at a time"
+        f = 4
+        hp, wp = h // f, w // f
+        # (1, hp, f, wp, f, c) -> (hp, wp, f, f, c): subpixel-major channels,
+        # matching ops.packed_conv.pack (dy, dx, c) order.
+        y = x.reshape(hp, f, wp, f, c).transpose(0, 2, 1, 3, 4)
+        y = y.reshape(hp, wp, f * f * c)
+        c_pad = _round_up(f * f * c, LANE)
+        out = np.zeros((hp, wp, c_pad), ml_dtypes.bfloat16)
+        out[:, :, : f * f * c] = y.astype(ml_dtypes.bfloat16)
+        return out
+
+    def stylize_prepacked(self, packed: jnp.ndarray, prepared) -> jnp.ndarray:
+        """Per-frame call on a pre-packed frame (see :meth:`pack_frame`)."""
+        return self._jitted_prepacked(packed, prepared)
+
+    def _run_raw(self, content, prepared):
+        return self._run_packed(self.pack_frame(content), prepared)
+
+    def _run_packed(self, p, prepared):
+        hp, wp = self.hp, self.wp
         style_tbl, *w_inputs = prepared
 
         out_shapes = (

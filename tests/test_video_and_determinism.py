@@ -131,3 +131,43 @@ def test_predict_video_dual_style(frames_and_run, tmp_path):
     frames = sorted((tmp_path / "dual").glob("frame_*.png"))
     assert len(frames) == 1
     assert np.asarray(PIL.Image.open(frames[0])).shape == (60, 120, 3)
+
+
+@pytest.mark.cli
+def test_predict_video_data_parallel(frames_and_run, tmp_path):
+    """--data_parallel 2: frames sharded over a 2-chip data mesh via
+    shard_map (packed per-chip program for this non-fused-family spec);
+    3 frames -> 2 steps with a padded tail that must be dropped on write."""
+    root, run = frames_and_run
+    out = tmp_path / "video.mp4"
+    # 3rd content frame so the last group is padded
+    extra = root / "content" / "validation" / "2.png"
+    if not extra.exists():
+        arr = (np.random.default_rng(9).random((70, 130, 3)) * 255)
+        PIL.Image.fromarray(arr.astype(np.uint8)).save(extra)
+    run_cli(
+        "predict_video_using_checkpoint.py",
+        "--network_spec", SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", root / "style" / "validation" / "0.png",
+        "--frames_dir", root / "content" / "validation",
+        "-o", out, "--max_frames", "3", "--data_parallel", "2",
+    )
+    frames = sorted((tmp_path / "video").glob("frame_*.png"))
+    assert len(frames) == 3
+    img = np.asarray(PIL.Image.open(frames[0]))
+    assert img.shape == (60, 120, 3)
+
+    # single-chip run on the same inputs: sharding must not change pixels
+    out2 = tmp_path / "video_single.mp4"
+    run_cli(
+        "predict_video_using_checkpoint.py",
+        "--network_spec", SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", root / "style" / "validation" / "0.png",
+        "--frames_dir", root / "content" / "validation",
+        "-o", out2, "--max_frames", "3", "--path", "packed",
+    )
+    single = sorted((tmp_path / "video_single").glob("frame_*.png"))
+    for a, b in zip(frames, single):
+        fa = np.asarray(PIL.Image.open(a)).astype(np.int16)
+        fb = np.asarray(PIL.Image.open(b)).astype(np.int16)
+        assert np.abs(fa - fb).max() <= 1  # u8 rounding only
