@@ -165,6 +165,8 @@ def make_style_loss_function(
     extractor_apply: Callable[[jnp.ndarray], Dict[str, Dict[str, jnp.ndarray]]],
     factors: LossFactors,
     depth_loss_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    *,
+    batch_tower: bool = False,
 ):
     """Build ``compute_loss(prediction, ground_truth) -> dict of (B,) components``.
 
@@ -172,6 +174,17 @@ def make_style_loss_function(
     ``functools.partial(module.apply, {'params': ...})``).  ``ground_truth`` is
     ``{'content': (B,H,W,3), 'style': (B,1,H,W,3)}`` — the loss path supports a
     single style only, as in the reference (assert at ``styleLoss.py:311-312``).
+
+    ``batch_tower``: run the three extractor invocations of the reference
+    (ground-truth / style / prediction, ``styleLoss.py:316-318``) as ONE
+    batch-3B pass.  Mathematically identical (the tower is batch-independent:
+    convs/relu/pools, BN in inference mode; bit-equality unit-tested), but
+    MEASURED SLOWER on TPU v5e at the flagship training shape — 216.9 vs
+    190.2 ms/step (480x960, batch 4, bf16, ``tools/bench_train_step.py``):
+    XLA:TPU's conv schedules for the batch-12 VGG pass are worse than three
+    batch-4 passes, echoing the batch-scaling pathology of
+    ``docs/batch_scaling.md``.  Default off; kept as an option because the
+    trade-off is hardware/shape-dependent.
     """
 
     def compute_loss(
@@ -186,9 +199,24 @@ def make_style_loss_function(
                 )
             input_style = jnp.squeeze(input_style, axis=1)
 
-        loss_data_content = extractor_apply(ground_truth["content"])
-        loss_data_style = extractor_apply(input_style)
-        loss_data_prediction = extractor_apply(prediction)
+        if batch_tower:
+            b = prediction.shape[0]
+            stacked = extractor_apply(jnp.concatenate(
+                [ground_truth["content"], input_style, prediction], axis=0))
+
+            def part(i):
+                return {
+                    kind: {l: v[i * b:(i + 1) * b] for l, v in taps.items()}
+                    for kind, taps in stacked.items()
+                }
+
+            loss_data_content = part(0)
+            loss_data_style = part(1)
+            loss_data_prediction = part(2)
+        else:
+            loss_data_content = extractor_apply(ground_truth["content"])
+            loss_data_style = extractor_apply(input_style)
+            loss_data_prediction = extractor_apply(prediction)
 
         content_terms = [
             mean_l2_loss_on_batch(

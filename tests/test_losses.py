@@ -105,3 +105,31 @@ def test_depth_loss_term(rng):
     nd = np.asarray(normalize_depth(d))
     assert abs(np.median(nd)) < 1e-5  # median-centered
     assert float(ssitrim_loss(d, d)) == 0.0
+
+
+def test_batch_tower_loss_is_bit_identical():
+    """batch_tower=True (one batch-3B extractor pass) == the reference's three
+    separate invocations (styleLoss.py:316-318), bit-for-bit — the tower is
+    batch-independent.  (On TPU v5e it is nonetheless SLOWER; see
+    make_style_loss_function's docstring and tools/bench_train_step.py.)"""
+    import functools
+
+    rng = np.random.default_rng(0)
+    ext = DummyLossExtractor()
+    img = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    variables = ext.init(jax.random.PRNGKey(0), img)
+    apply_fn = functools.partial(ext.apply, variables)
+    gt = {
+        "content": jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32)),
+        "style": jnp.asarray(rng.random((2, 1, 16, 16, 3)).astype(np.float32)),
+    }
+    pred = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    batched = jax.jit(
+        make_style_loss_function(apply_fn, ext.factors, batch_tower=True)
+    )(pred, gt)
+    split = jax.jit(
+        make_style_loss_function(apply_fn, ext.factors, batch_tower=False)
+    )(pred, gt)
+    for key in split:
+        np.testing.assert_array_equal(
+            np.asarray(batched[key]), np.asarray(split[key]))

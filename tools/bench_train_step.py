@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Train-step wall time on the real TPU: batched (3B) vs split loss tower.
+
+Methodology: same as bench.py — the tunnel's block_until_ready doesn't block,
+so K train steps are chained in one jitted lax.scan (the TrainState carry is
+the data dependency) and the per-step time is the slope between two K values.
+
+Usage: timeout 570 python tools/bench_train_step.py [--split] [--spec rst-960-120-128-17]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--spec", default="rst-960-120-128-17")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--split", action="store_true",
+                   help="use the r2 split (3x) loss tower instead of batch-3B")
+    p.add_argument("--k", type=int, nargs=2, default=(2, 6))
+    p.add_argument("--trials", type=int, default=3)
+    args = p.parse_args()
+
+    from realtime_style_transfer_tpu.config import ShapeConfig
+    from realtime_style_transfer_tpu.models import losses as losses_mod
+    from realtime_style_transfer_tpu.models.training import (
+        make_style_transfer_training_model,
+    )
+
+    config = ShapeConfig.from_spec(args.spec)
+    tm = make_style_transfer_training_model(
+        config, loss_extractor="vgg", with_depth_loss=False,
+        dtype=jnp.bfloat16,
+    )
+    if args.split:
+        tm.compute_loss = losses_mod.make_style_loss_function(
+            lambda imgs: tm.loss_module.apply(tm.loss_variables, imgs),
+            tm.loss_module.factors, batch_tower=False,
+        )
+
+    state = tm.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b = args.batch
+    inputs = {
+        "content": jnp.asarray(
+            rng.random((b,) + config.content_shape), jnp.float32),
+        "style": jnp.asarray(
+            rng.random((b,) + config.style_shape), jnp.float32),
+    }
+    ground_truth = {
+        "content": inputs["content"][..., :3],
+        "style": inputs["style"],
+    }
+    batch = (inputs, ground_truth)
+
+    def steps(state, k):
+        def body(carry, _):
+            new_state, metrics = tm.train_step(carry, batch)
+            return new_state, metrics["loss"]
+
+        _, losses = jax.lax.scan(body, state, xs=None, length=k)
+        return losses[-1]
+
+    jitted = {
+        k: jax.jit(lambda s, k=k: steps(s, k)) for k in args.k
+    }
+
+    t0 = time.time()
+    for k in args.k:
+        float(jax.device_get(jitted[k](state)))
+    print(f"warm-up/compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def best(k):
+        best_t = float("inf")
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            float(jax.device_get(jitted[k](state)))
+            best_t = min(best_t, time.perf_counter() - t0)
+        return best_t
+
+    k0, k1 = args.k
+    t_short, t_long = best(k0), best(k1)
+    per_step = (t_long - t_short) / (k1 - k0)
+    print(json.dumps({
+        "metric": "train_step_ms",
+        "value": round(per_step * 1e3, 2),
+        "spec": args.spec,
+        "batch": b,
+        "tower": "split" if args.split else "batch3B",
+        "samples_per_sec": round(b / per_step, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
