@@ -32,6 +32,7 @@ def test_mobilenetv3_taps_and_shapes(image):
     assert taps["expanded_conv_10/Add"].shape[-1] == 96
 
 
+@pytest.mark.slow
 def test_efficientnet_b3_taps(image):
     model = effnet.EfficientNetB3(
         capture=effnet.STYLE_TAPS_B3 + effnet.CONTENT_TAPS_B3
@@ -54,6 +55,7 @@ def test_efficientnet_b3_round_filters_schedule():
     assert widths == [40, 24, 32, 48, 96, 136, 232, 384, 1536]
 
 
+@pytest.mark.slow
 def test_efficientnet_v2s_forward(image):
     model = effnet.EfficientNetV2S()
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -72,6 +74,7 @@ def test_vgg16_taps(image):
     assert taps["block5_conv3"].shape == (1, 4, 4, 512)
 
 
+@pytest.mark.slow
 def test_predictor_efficientnet_backbone():
     from realtime_style_transfer_tpu.models.predictor import StylePredictor
 
@@ -84,6 +87,7 @@ def test_predictor_efficientnet_backbone():
     assert out.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_efficientnet_v2s_loss_extractor(image):
     """V2-S loss tower (framework extension): taps split into content/style
     groups with descending spatial resolution, usable by the loss builder."""

@@ -78,6 +78,7 @@ def test_load_depth_pairs_skips_missing_exr(tmp_path, depth_fixture, caplog):
     assert 0.0 <= target.min() and target.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_pretrain_improves_validation_correlation(depth_fixture, tmp_path):
     train_paths, val_paths = depth_fixture
     variables, history = pretrain(

@@ -12,6 +12,7 @@ from realtime_style_transfer_tpu.utils import comparison_table, describe
 from tests.test_cli import SPEC, run_cli
 
 
+@pytest.mark.cli
 def test_style_params_roundtrip_through_compare_cli(tmp_path, rng):
     """predict_style_params buffer -> compare_unreal_style_params parity table."""
     # fabricate a tiny run

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # noqa: E402 — heavy tier (see pyproject markers)
+
 from realtime_style_transfer_tpu.ops.packed_conv import (
     pack,
     packed_conv,

@@ -51,6 +51,7 @@ def training_model():
     return make_style_transfer_training_model(TINY, loss_extractor="dummy")
 
 
+@pytest.mark.slow
 def test_fit_with_all_callbacks_and_resume(tmp_path, training_model):
     tm = training_model
     batches = _make_batches(TINY)

@@ -9,6 +9,7 @@ optimizer step over a tiny zeros dataset.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from realtime_style_transfer_tpu.config import ShapeConfig
 from realtime_style_transfer_tpu.models.inference import make_inference_model, plan_from_config
@@ -111,6 +112,7 @@ def test_eval_step_metrics():
     assert set(metrics) >= {"loss", "feature_loss", "style_loss", "total_variation_loss"}
 
 
+@pytest.mark.slow
 def test_depth_loss_component_present():
     tm = make_style_transfer_training_model(
         TINY, loss_extractor="dummy", with_depth_loss=True
@@ -122,6 +124,7 @@ def test_depth_loss_component_present():
     assert np.isfinite(float(metrics["depth_loss"]))
 
 
+@pytest.mark.slow
 def test_remat_training_matches_standard():
     """jax.checkpoint remat must not change the math, only the memory profile."""
     tm_std = make_style_transfer_training_model(TINY, loss_extractor="dummy")
