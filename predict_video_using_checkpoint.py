@@ -208,17 +208,27 @@ def main():
 
         sink = VideoSink(args.output, args.fps, args.bitrate,
                          config.output_dimensions)
-        warm = np.zeros((dp,) + config.content_shape, np.float32)
-        jax.device_get(streamer.stylize_batch(warm, prepared))
+        # Fused per-chip path: pre-pack frame groups on the host (deploy
+        # input contract, same as single-chip --path fused).
+        if streamer.path == "fused":
+            group_prep = streamer.pack_frames_np
+            stylize_group = streamer.stylize_batch_prepacked
+        else:
+            group_prep = lambda g: g  # noqa: E731
+            stylize_group = streamer.stylize_batch
+        warm = group_prep(np.zeros((dp,) + config.content_shape, np.float32))
+        jax.device_get(stylize_group(jax.device_put(warm, batch_sharding),
+                                     prepared))
         timer = FrameTimer()
         with trace(str(args.profile_dir) if args.profile_dir else None):
             for content, n_real in DevicePrefetcher(
                 grouped_frames(), depth=3,
                 device_put=lambda item: (
-                    jax.device_put(item[0], batch_sharding), item[1]),
+                    jax.device_put(group_prep(item[0]), batch_sharding),
+                    item[1]),
             ):
                 with timer.frame():
-                    out = streamer.stylize_batch(content, prepared)
+                    out = stylize_group(content, prepared)
                     batch = np.asarray(jax.device_get(out))
                 for frame in batch[:n_real]:
                     sink.write(frame)

@@ -116,11 +116,22 @@ class FusedStreamStylizer:
             def per_chip(content, prepared):
                 return fused._forward_prepared(content, prepared)
 
+            def per_chip_prepacked(packed, prepared):
+                # shard (1, hp, wp, Cp): pre-packed by the data plane
+                # (FusedTransfer.pack_frame_np), same deploy contract as the
+                # single-chip path.
+                return fused._unpack_out(fused._run_packed(packed[0], prepared))
+
             self._prepare = jax.jit(fused._prepare, out_shardings=repl)
             # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
             # varying-across-mesh annotation; the kernel is per-chip local.
             self._stylize = jax.jit(
                 shard_map(per_chip, mesh=mesh,
+                          in_specs=(P(DATA_AXIS), P()),
+                          out_specs=P(DATA_AXIS), check_vma=False),
+                in_shardings=(batch, repl), out_shardings=batch)
+            self._stylize_prepacked = jax.jit(
+                shard_map(per_chip_prepacked, mesh=mesh,
                           in_specs=(P(DATA_AXIS), P()),
                           out_specs=P(DATA_AXIS), check_vma=False),
                 in_shardings=(batch, repl), out_shardings=batch)
@@ -163,6 +174,28 @@ class FusedStreamStylizer:
         if self.path == "fused":
             return self._stylize(content, prepared)
         return self._stylize_packed(self.variables, content, prepared)
+
+    def pack_frames_np(self, frames):
+        """Host-pack an (n_data, H, W, C) group for :meth:`stylize_batch_prepacked`
+        (fused path only; numpy, safe in a DevicePrefetcher worker)."""
+        import numpy as np
+
+        if self._fused is None:
+            raise ValueError("pre-packed input is a fused-path contract")
+        return np.stack([
+            self._fused.pack_frame_np(frames[i:i + 1])
+            for i in range(frames.shape[0])
+        ])
+
+    def stylize_batch_prepacked(self, packed, prepared):
+        """Pre-packed (n_data, hp, wp, Cp) group -> (n_data, H, W, 3)."""
+        if self._fused is None:
+            raise ValueError("pre-packed input is a fused-path contract")
+        if packed.shape[0] != self.n_data:
+            raise ValueError(
+                f"need exactly {self.n_data} frames per step "
+                f"(one per chip), got {packed.shape[0]}")
+        return self._stylize_prepacked(packed, prepared)
 
     @property
     def batch_per_step(self) -> int:

@@ -151,6 +151,11 @@ def test_fused_stream_stylizer_matches_single_chip():
         want = np.asarray(single(frames[i:i + 1], sp))
         np.testing.assert_array_equal(np.asarray(out[i:i + 1]), want)
 
+    # pre-packed group path (deploy contract) == unpacked path
+    packed = streamer.pack_frames_np(np.asarray(frames))
+    out_pk = streamer.stylize_batch_prepacked(jnp.asarray(packed), prepared)
+    np.testing.assert_array_equal(np.asarray(out_pk), np.asarray(out))
+
     with pytest.raises(ValueError, match="exactly 8 frames"):
         streamer.stylize_batch(frames[:4], prepared)
 
