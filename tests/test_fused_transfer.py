@@ -190,3 +190,25 @@ def test_prepacked_input_path_matches_direct(flagship_tiny):
     out = np.asarray(
         fused.stylize_prepacked(jnp.asarray(packed_np), prepared), np.float32)
     np.testing.assert_array_equal(out, direct)
+
+
+def test_chunked_launch_matches_single_frames(flagship_tiny):
+    """Chunk mode (grid=(N,) — N frames per kernel launch, throughput path)
+    is bit-identical to N single-frame launches."""
+    _cfg, plan, _net, variables, content, style_params = flagship_tiny
+    fused = FusedTransfer(variables, plan, interpret=True)
+    prepared = fused.prepare_style(style_params)
+    rng = np.random.default_rng(31)
+    frames = rng.random((3,) + content.shape[1:]).astype(np.float32)
+    packed = np.stack(
+        [fused.pack_frame_np(frames[i:i + 1]) for i in range(3)])
+    chunk = np.asarray(
+        fused.stylize_prepacked_chunk(jnp.asarray(packed), prepared),
+        np.float32)
+    singles = np.concatenate([
+        np.asarray(
+            fused.stylize_prepacked(jnp.asarray(packed[i]), prepared),
+            np.float32)
+        for i in range(3)])
+    assert chunk.shape == (3,) + chunk.shape[1:]
+    np.testing.assert_array_equal(chunk, singles)
