@@ -30,9 +30,21 @@ Dual-style (``num_styles=2``, reference ``styleTransfer.py:36-44,288-303``):
 the per-pixel blend of CIN parameters is linear, and the moment fold is linear
 in (scale, bias), so blending folded per-style affines equals folding blended
 parameters: ``a(x,y) = a0 + w(x,y) * (a1 - a0)`` (same for b).  The kernel
-keeps base + delta affine rows in scratch and streams the style-weight mip —
-packed to the uniform grid and pre-expanded to each consumer stage's packed
-channel count — through a third DMA ring alongside input and skip bands.
+keeps base + delta affine rows in scratch.  The bottleneck-resolution weight
+mip (one scalar per packed pixel — consumed by 9 res stages + e0) lives in
+VMEM for the whole kernel as a compact f32 2D ``(hp, wp)`` plane (~hp*wp*4
+bytes; a 3D ``(hp, wp, 1)`` input would be lane-padded to 128 and blow the
+16 MB scoped-VMEM cap).  Each band reads an 8-aligned window
+(``pl.multiple_of`` — 2D VMEM tiles sublanes, so raw halo offsets like
+``i*th-1`` are rejected), ``pltpu.roll``s the dynamic misalignment away and
+lane-inserts ``[:, :, None]`` to broadcast against the ``(rows, wp, cin)``
+band (the f32 lane-insert relayout lowers; the bf16 one does not — probed
+r3).  This removes ~hp*wp*LANE*2 bytes of HBM ring traffic per consumer
+stage (~74 MB/frame on the flagship).  The expand-resolution mips (whose
+per-pixel value varies across subpixel channel blocks) still stream through
+a DMA ring pre-expanded to the consumer stage's packed channel count, as
+all four mips did in r2.  Plans with ``hp % 8 != 0`` (where the aligned
+window math does not close) fall back to the r2 expanded-ring path for wB.
 """
 
 from __future__ import annotations
@@ -212,6 +224,8 @@ class FusedTransfer:
         self.th = max(t for t in (8, 4, 2, 1) if self.hp % t == 0 and t <= 8)
         if self.hp // self.th < 2:
             raise ValueError("need at least 2 row bands")
+        # compact VMEM-resident wB plane needs 8-aligned window math
+        self._wb_resident = self.dual and self.hp % 8 == 0
         self._build(variables)
 
     # ---- host-side weight prep ------------------------------------------
@@ -462,6 +476,50 @@ class FusedTransfer:
 
     # ---- the kernel ---------------------------------------------------------
 
+    def _pick_th(self, si: int, st: _Stage) -> int:
+        """Largest band height whose stage VMEM footprint stays in budget.
+
+        Bigger bands amortize per-band DMA issue/copy overhead and the band
+        loop itself; the f32 accumulator and the double-buffered rings set
+        the ceiling.  Dual-style stages keep more elementwise temporaries
+        live in the blend chain (wv broadcast + two products), so they are
+        charged double for the transform temp and held to a 12 MB budget;
+        single-style stages fit a 14 MB budget (both calibrated against
+        compiler scoped-alloc reports — 14 MB with the dual charges tripped
+        the 16 MB scoped-VMEM limit by ~0.5 MB on the flagship, r3).
+        """
+        hp, wp = self.hp, self.wp
+        has_skip = st.skip_in is not None or st.skip_out is not None
+        w_resident = (self.dual and st.in_affine and st.w_src == "wB"
+                      and self._wb_resident)
+        has_w = (self.dual and st.in_affine and st.w_src is not None
+                 and not w_resident)
+        has_transform = (st.in_affine or st.in_relu
+                         or st.skip_in is not None)
+        budget = (12 if self.dual else 14) * 2 ** 20
+        for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
+                         reverse=True):
+            rows = th + st.ph - 1
+            wpad = _round_up(wp + st.pw - 1, 8)
+            est = (
+                rows * wpad * st.cin * 2              # padded temp (bf16)
+                + 2 * rows * wp * st.cin * 2          # staging ring
+                + 2 * th * wp * st.cout * 2           # out ring
+                + th * wp * st.cout * 4               # f32 accumulator
+                + int(np.prod(self._kernels[si].shape)) * 2
+            )
+            if has_transform:
+                # bf16 chain temp; dual blends keep a second one live
+                est += rows * wp * st.cin * (4 if self.dual else 2)
+            if has_skip:
+                est += 2 * (rows + th) * wp * LANE * 2
+            if has_w or w_resident:
+                # streamed ring, or the resident plane's broadcast temps
+                est += 2 * rows * wp * st.cin * 2
+            if est <= budget or th == 1:
+                return th
+        return 1
+
     def _kernel_fn(self, content, *refs):
         return self._kernel_impl(False, content, *refs)
 
@@ -494,46 +552,18 @@ class FusedTransfer:
         hp, wp = self.hp, self.wp
         eps = self.eps
 
-        def pick_th(si: int, st: _Stage) -> int:
-            """Largest band height whose stage VMEM footprint stays ~<10MB.
-
-            Bigger bands amortize per-band DMA issue/copy overhead; the
-            accumulator (f32) and the double-buffered rings set the ceiling.
-            """
-            has_skip = st.skip_in is not None or st.skip_out is not None
-            has_w = self.dual and st.in_affine and st.w_src is not None
-            has_transform = (st.in_affine or st.in_relu
-                             or st.skip_in is not None)
-            for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
-                             reverse=True):
-                rows = th + st.ph - 1
-                wpad = _round_up(wp + st.pw - 1, 8)
-                est = (
-                    rows * wpad * st.cin * 2              # padded temp (bf16)
-                    + 2 * rows * wp * st.cin * 2          # staging ring
-                    + 2 * th * wp * st.cout * 2           # out ring
-                    + th * wp * st.cout * 4               # f32 accumulator
-                    + int(np.prod(self._kernels[si].shape)) * 2
-                )
-                if has_transform:
-                    est += rows * wp * st.cin * 4         # f32 transform temp
-                if has_skip:
-                    est += 2 * (rows + th) * wp * LANE * 2
-                if has_w:
-                    est += 2 * rows * wp * st.cin * 2     # weight-mip ring
-                if est <= 12 * 2 ** 20 or th == 1:
-                    return th
-            return 1
-
         def run_conv(si: int, st: _Stage, k_ref):
-            th = pick_th(si, st)
+            th = self._pick_th(si, st)
             nb = hp // th
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
             first_shift = -st.lo_y
             last_shift = st.ph - 1 + st.lo_y
             has_skip = st.skip_in is not None or st.skip_out is not None
-            has_w = self.dual and st.in_affine and st.w_src is not None
+            w_resident = (self.dual and st.in_affine and st.w_src == "wB"
+                          and self._wb_resident)  # f32 (hp, wp) plane in VMEM
+            has_w = (self.dual and st.in_affine and st.w_src is not None
+                     and not w_resident)
             has_transform = (st.in_affine or st.in_relu
                              or st.skip_in is not None)
 
@@ -629,13 +659,29 @@ class FusedTransfer:
                                 1, 1, st.cin).astype(jnp.bfloat16)
                             b = affine_sc[1:2, :st.cin].reshape(
                                 1, 1, st.cin).astype(jnp.bfloat16)
-                            if has_w:
+                            if has_w or w_resident:
                                 da = affine_sc[2:3, :st.cin].reshape(
                                     1, 1, st.cin).astype(jnp.bfloat16)
                                 db = affine_sc[3:4, :st.cin].reshape(
                                     1, 1, st.cin).astype(jnp.bfloat16)
-                                w_dma(slot, i).wait()
-                                wv = w_stag[slot]
+                                if w_resident:
+                                    # Same clamped window as in_dma so halo
+                                    # rows blend with their true weights.  2D
+                                    # VMEM tiles sublanes: load an 8-aligned
+                                    # window, roll the misalignment away,
+                                    # then lane-insert to broadcast.
+                                    w0 = i * th + st.lo_y
+                                    s = jnp.clip(w0, 0, hp - rows)
+                                    win = min(_round_up(rows + 7, 8), hp)
+                                    s8 = jnp.minimum((s // 8) * 8, hp - win)
+                                    ww = buf["wB"][
+                                        pl.ds(pl.multiple_of(s8, 8), win)]
+                                    wv = pltpu.roll(ww, s8 - s, 0)[
+                                        0:rows][:, :, None].astype(
+                                        jnp.bfloat16)
+                                else:
+                                    w_dma(slot, i).wait()
+                                    wv = w_stag[slot]
                                 x = (x * a + b) + wv * (x * da + db)
                             else:
                                 x = x * a + b
@@ -736,7 +782,21 @@ class FusedTransfer:
 
                 if st.stats:
                     stats_sc[...] = jnp.zeros_like(stats_sc)
-                temp[...] = jnp.zeros_like(temp)  # halo cols/rows stay zero
+                # Halo-only zeroing: bands overwrite the content columns
+                # [xw0, xw0+wp) every iteration (band 0 additionally needs a
+                # zero top halo; the last band re-zeroes its bottom halo
+                # in-loop), so only the side column strips and the top rows
+                # need clearing — ~30x less VPU traffic than a full memset.
+                xw0 = -st.lo_x
+                if xw0 > 0:
+                    temp[:, 0:xw0, :] = jnp.zeros(
+                        (rows, xw0, st.cin), temp.dtype)
+                if wpad > xw0 + wp:
+                    temp[:, xw0 + wp:wpad, :] = jnp.zeros(
+                        (rows, wpad - xw0 - wp, st.cin), temp.dtype)
+                if first_shift > 0:
+                    temp[0:first_shift, xw0:xw0 + wp, :] = jnp.zeros(
+                        (first_shift, wp, st.cin), temp.dtype)
                 jax.lax.fori_loop(0, nb, band, 0)
                 # drain the last two in-flight output DMAs (nb >= 2)
                 out_dma((nb - 2) % 2, nb - 2).wait()
@@ -901,8 +961,13 @@ class FusedTransfer:
         w_b = mips[wp][..., 1:2]                      # (1, hp, wp, 1)
         w_e0 = pack(mips[2 * wp][..., 1:2], 2)        # (1, hp, wp, 4)
         w_hi = pack(mips[4 * wp][..., 1:2], 4)        # (1, hp, wp, 16)
+        if self._wb_resident:
+            # compact f32 2D plane: VMEM-resident, broadcast in-kernel
+            wb = w_b[0, :, :, 0].astype(jnp.float32)
+        else:
+            wb = expand(w_b, _round_up(filters, LANE))
         return (
-            expand(w_b, _round_up(filters, LANE)),    # res core + e0 input
+            wb,                                       # res core + e0 input
             expand(w_e0, e0_f),                       # e1 input (4*e0_f ch)
             expand(w_hi, e1_f),                       # final input (16*e1_f)
             expand(w_hi, fin_f),                      # finish (16*fin_f ch)
@@ -969,6 +1034,16 @@ class FusedTransfer:
         """Per-frame call on a pre-packed frame (see :meth:`pack_frame`)."""
         return self._jitted_prepacked(packed, prepared)
 
+    def _w_specs(self, w_inputs):
+        """Dual-style mip input specs: wB VMEM-resident (when the compact
+        plane is usable), the rest HBM-streamed rings."""
+        if not w_inputs:
+            return []
+        wb_spec = pl.BlockSpec(
+            memory_space=pltpu.VMEM if self._wb_resident else pl.ANY)
+        return ([wb_spec]
+                + [pl.BlockSpec(memory_space=pl.ANY)] * (len(w_inputs) - 1))
+
     def _run_raw(self, content, prepared):
         return self._run_packed(self.pack_frame(content), prepared)
 
@@ -988,7 +1063,7 @@ class FusedTransfer:
             in_specs=(
                 [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                + [pl.BlockSpec(memory_space=pl.ANY)] * len(w_inputs)
+                + self._w_specs(w_inputs)
             ),
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
@@ -1033,7 +1108,7 @@ class FusedTransfer:
             in_specs=(
                 [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                + [pl.BlockSpec(memory_space=pl.ANY)] * len(w_inputs)
+                + self._w_specs(w_inputs)
             ),
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
