@@ -151,6 +151,39 @@ def test_fused_dual_style_matches_packed(rng):
     np.testing.assert_allclose(blend0, base, rtol=0.02, atol=0.01)
 
 
+def test_fused_dual_style_ring_fallback_matches_packed(rng):
+    """Dual-style with ``hp % 8 != 0``: the compact VMEM-resident wB plane
+    needs 8-aligned window math, so these plans must fall back to the
+    expanded DMA-ring path — and still match the packed oracle
+    (reference ``styleTransfer.py:36-44,288-345``)."""
+    cfg = ShapeConfig(resolution_divider=20, bottleneck_res_y=12,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True,
+                      num_styles=2)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=2)
+    rng = np.random.default_rng(31)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 2, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    weights = jnp.asarray(
+        rng.random((1,) + cfg.style_weights_shape).astype(np.float32))
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(7), content, style_params, style_weights=weights,
+        train=False)
+    want = np.asarray(jax.jit(
+        lambda v, c, p, w: stylize_packed(v, c, p, w, plan=plan,
+                                          dtype=jnp.bfloat16)
+    )(variables, content, style_params, weights), np.float32)
+    fused = FusedTransfer(variables, plan, num_styles=2, interpret=True)
+    assert not fused._wb_resident  # hp == 12 exercises the fallback
+    got = np.asarray(fused(content, style_params, weights), np.float32)
+    assert got.shape == want.shape == (1,) + cfg.output_shape
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+    assert np.median(np.abs(got - want)) < 5e-3
+
+
 def test_prepared_style_path_matches_direct(flagship_tiny):
     """prepare_style + stylize_prepared == the direct call (streaming path
     hoists the loop-invariant style table out of the frame loop)."""
