@@ -867,23 +867,49 @@ class FusedTransfer:
                 it = iter(scratch)
                 stag, outb = next(it), next(it)
                 w_stag = next(it) if has_w else None
-                dsem = next(it)
+                insem, outsem = next(it), next(it)
                 wsem = next(it) if has_w else None
 
-                def band(i, _):
-                    cp_in = pltpu.make_async_copy(
+                # double-buffered in/out rings: the r3 bisect priced this
+                # stage at 0.061 ms with fully serialized DMAs; overlapping
+                # band i+1's load and band i-2's drain under band i's VPU
+                # work removes most of it
+                def in_dma(slot, i):
+                    return pltpu.make_async_copy(
                         buf[st.src].at[pl.ds(i * th, th), :, pl.ds(0, LANE)],
-                        stag, dsem)
-                    cp_in.start()
+                        stag.at[slot], insem.at[slot])
+
+                def w_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        buf[st.w_src].at[pl.ds(i * th, th)],
+                        w_stag.at[slot], wsem.at[slot])
+
+                def out_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        outb.at[slot], buf[st.dst].at[pl.ds(i * th, th)],
+                        outsem.at[slot])
+
+                in_dma(0, 0).start()
+                if has_w:
+                    w_dma(0, 0).start()
+
+                def band(i, _):
+                    slot = i % 2
+                    nxt = (i + 1) % 2
+
+                    @pl.when(i + 1 < nb)
+                    def _():
+                        in_dma(nxt, i + 1).start()
+
                     if has_w:
-                        cp_w = pltpu.make_async_copy(
-                            buf[st.w_src].at[pl.ds(i * th, th)], w_stag, wsem)
-                        cp_w.start()
-                        cp_w.wait()
-                    cp_in.wait()
+                        @pl.when(i + 1 < nb)
+                        def _():
+                            w_dma(nxt, i + 1).start()
+                        w_dma(slot, i).wait()
+                    in_dma(slot, i).wait()
                     # affine in bf16; sigmoid stays f32 (Mosaic cannot lower
                     # bf16 logistic: f32 scalar broadcast verification error)
-                    x = stag[...]
+                    x = stag[slot]
                     a = affine_sc[0:1, :LANE].reshape(
                         1, 1, LANE).astype(jnp.bfloat16)
                     b = affine_sc[1:2, :LANE].reshape(
@@ -894,26 +920,34 @@ class FusedTransfer:
                             1, 1, LANE).astype(jnp.bfloat16)
                         db = affine_sc[3:4, :LANE].reshape(
                             1, 1, LANE).astype(jnp.bfloat16)
-                        xb = xb + w_stag[...] * (x * da + db)
+                        xb = xb + w_stag[slot] * (x * da + db)
                     y = xb.astype(jnp.float32)
-                    outb[...] = jax.nn.sigmoid(y).astype(jnp.bfloat16)
-                    cp_out = pltpu.make_async_copy(
-                        outb, buf[st.dst].at[pl.ds(i * th, th)], dsem)
-                    cp_out.start()
-                    cp_out.wait()
+
+                    @pl.when(i >= 2)
+                    def _():
+                        out_dma(slot, i - 2).wait()
+
+                    outb[slot] = jax.nn.sigmoid(y).astype(jnp.bfloat16)
+                    out_dma(slot, i).start()
                     return 0
 
                 jax.lax.fori_loop(0, nb, band, 0)
+                # drain the last two in-flight output DMAs (nb >= 2)
+                out_dma((nb - 2) % 2, nb - 2).wait()
+                out_dma((nb - 1) % 2, nb - 1).wait()
 
             scratch = [
-                pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
-                pltpu.VMEM((th, wp, LANE), jnp.bfloat16),
+                pltpu.VMEM((2, th, wp, LANE), jnp.bfloat16),
+                pltpu.VMEM((2, th, wp, LANE), jnp.bfloat16),
             ]
             if has_w:
-                scratch += [pltpu.VMEM((th, wp, LANE), jnp.bfloat16)]
-            scratch += [pltpu.SemaphoreType.DMA(())]
+                scratch += [pltpu.VMEM((2, th, wp, LANE), jnp.bfloat16)]
+            scratch += [
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
             if has_w:
-                scratch += [pltpu.SemaphoreType.DMA(())]
+                scratch += [pltpu.SemaphoreType.DMA((2,))]
             pl.run_scoped(body, *scratch)
 
         ki = 0
