@@ -26,6 +26,7 @@ import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.image_ops import gram_matrix, mean_l2_loss_on_batch, total_variation
@@ -167,6 +168,7 @@ def make_style_loss_function(
     depth_loss_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     *,
     batch_tower: bool = False,
+    tower_mode: Optional[str] = None,
 ):
     """Build ``compute_loss(prediction, ground_truth) -> dict of (B,) components``.
 
@@ -185,7 +187,28 @@ def make_style_loss_function(
     batch-4 passes, echoing the batch-scaling pathology of
     ``docs/batch_scaling.md``.  Default off; kept as an option because the
     trade-off is hardware/shape-dependent.
+
+    ``tower_mode`` generalizes the knob (``batch_tower=True`` is the alias for
+    ``"batched"``):
+
+    * ``"split"``  — the reference's three separate invocations (default).
+    * ``"batched"``— one batch-3B pass (see above; slower on v5e).
+    * ``"scan"``   — ``lax.map`` over the batch: 3B batch-1 passes.  The same
+      batch-folding pathology that makes "batched" slow predicts batch-1 conv
+      schedules are the ones XLA:TPU picks well; per-sample results are
+      mathematically identical (the tower is batch-independent: convs/relu/
+      pools, BN in inference mode; equality unit-tested).
     """
+    if tower_mode is None:
+        tower_mode = "batched" if batch_tower else "split"
+    if tower_mode not in ("split", "batched", "scan"):
+        raise ValueError(f"unknown tower_mode {tower_mode!r}")
+    batch_tower = tower_mode == "batched"
+
+    def scan_apply(images: jnp.ndarray):
+        taps = jax.lax.map(lambda s: extractor_apply(s[None]), images)
+        return jax.tree_util.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), taps)
 
     def compute_loss(
         prediction: jnp.ndarray, ground_truth: Dict[str, jnp.ndarray]
@@ -213,6 +236,10 @@ def make_style_loss_function(
             loss_data_content = part(0)
             loss_data_style = part(1)
             loss_data_prediction = part(2)
+        elif tower_mode == "scan":
+            loss_data_content = scan_apply(ground_truth["content"])
+            loss_data_style = scan_apply(input_style)
+            loss_data_prediction = scan_apply(prediction)
         else:
             loss_data_content = extractor_apply(ground_truth["content"])
             loss_data_style = extractor_apply(input_style)

@@ -133,3 +133,18 @@ def test_batch_tower_loss_is_bit_identical():
     for key in split:
         np.testing.assert_array_equal(
             np.asarray(batched[key]), np.asarray(split[key]))
+    # tower_mode="scan" (lax.map over batch-1 passes) must also match, and its
+    # gradient w.r.t. the prediction must equal the split tower's gradient
+    scan_fn = make_style_loss_function(apply_fn, ext.factors,
+                                       tower_mode="scan")
+    scanned = jax.jit(scan_fn)(pred, gt)
+    for key in split:
+        np.testing.assert_allclose(
+            np.asarray(scanned[key]), np.asarray(split[key]),
+            rtol=1e-6, atol=1e-7)
+    split_fn = make_style_loss_function(apply_fn, ext.factors)
+    g_scan = jax.jit(jax.grad(lambda p: jnp.sum(scan_fn(p, gt)["loss"])))(pred)
+    g_split = jax.jit(
+        jax.grad(lambda p: jnp.sum(split_fn(p, gt)["loss"])))(pred)
+    np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_split),
+                               rtol=1e-5, atol=1e-6)

@@ -5,7 +5,8 @@ Methodology: same as bench.py — the tunnel's block_until_ready doesn't block,
 so K train steps are chained in one jitted lax.scan (the TrainState carry is
 the data dependency) and the per-step time is the slope between two K values.
 
-Usage: timeout 570 python tools/bench_train_step.py [--split] [--spec rst-960-120-128-17]
+Usage: timeout 570 python tools/bench_train_step.py [--tower split|batched|scan]
+       [--spec rst-960-120-128-17]
 """
 
 from __future__ import annotations
@@ -33,8 +34,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--spec", default="rst-960-120-128-17")
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--split", action="store_true",
-                   help="use the r2 split (3x) loss tower instead of batch-3B")
+    p.add_argument("--tower", choices=("split", "batched", "scan"),
+                   default="split",
+                   help="loss-tower mode (see losses.make_style_loss_function)")
     p.add_argument("--k", type=int, nargs=2, default=(2, 6))
     p.add_argument("--trials", type=int, default=3)
     args = p.parse_args()
@@ -50,11 +52,13 @@ def main() -> None:
         config, loss_extractor="vgg", with_depth_loss=False,
         dtype=jnp.bfloat16,
     )
-    if args.split:
-        tm.compute_loss = losses_mod.make_style_loss_function(
-            lambda imgs: tm.loss_module.apply(tm.loss_variables, imgs),
-            tm.loss_module.factors, batch_tower=False,
-        )
+    # ALWAYS rebind (an earlier version only rebound for --split, so both arms
+    # of the r3 "batched vs split" measurement actually ran split — the 216.9
+    # vs 190.2 delta was tunnel noise, not a real schedule difference)
+    tm.compute_loss = losses_mod.make_style_loss_function(
+        lambda imgs: tm.loss_module.apply(tm.loss_variables, imgs),
+        tm.loss_module.factors, tower_mode=args.tower,
+    )
 
     state = tm.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -104,7 +108,7 @@ def main() -> None:
         "value": round(per_step * 1e3, 2),
         "spec": args.spec,
         "batch": b,
-        "tower": "split" if args.split else "batch3B",
+        "tower": args.tower,
         "samples_per_sec": round(b / per_step, 2),
         "device": str(jax.devices()[0]),
     }))
