@@ -180,13 +180,11 @@ def make_style_loss_function(
     ``batch_tower``: run the three extractor invocations of the reference
     (ground-truth / style / prediction, ``styleLoss.py:316-318``) as ONE
     batch-3B pass.  Mathematically identical (the tower is batch-independent:
-    convs/relu/pools, BN in inference mode; bit-equality unit-tested), but
-    MEASURED SLOWER on TPU v5e at the flagship training shape — 216.9 vs
-    190.2 ms/step (480x960, batch 4, bf16, ``tools/bench_train_step.py``):
-    XLA:TPU's conv schedules for the batch-12 VGG pass are worse than three
-    batch-4 passes, echoing the batch-scaling pathology of
-    ``docs/batch_scaling.md``.  Default off; kept as an option because the
-    trade-off is hardware/shape-dependent.
+    convs/relu/pools, BN in inference mode; bit-equality unit-tested).
+    NOTE: the r3 claim that this measured slower (216.9 vs 190.2 ms/step) was
+    INVALID — the harness ran the split tower in both arms (fixed in
+    ``tools/bench_train_step.py``); see ROADMAP "Training-step profile" for
+    the current measured numbers.
 
     ``tower_mode`` generalizes the knob (``batch_tower=True`` is the alias for
     ``"batched"``):
