@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("RST_PLATFORM"):
+    # CPU smoke runs with tiny specs (the sitecustomize pins JAX_PLATFORMS=axon
+    # machine-wide; only an in-process config update overrides it)
+    jax.config.update("jax_platforms", os.environ["RST_PLATFORM"])
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
