@@ -17,6 +17,9 @@ def image():
     )
 
 
+@pytest.mark.slow  # 40 s: full MobileNetV3 init+apply; correctness vs the TF
+# reference is covered in the default tier by test_reference_parity's
+# tap-by-tap fixture comparison
 def test_mobilenetv3_taps_and_shapes(image):
     model = mnv3.MobileNetV3Small(capture=mnv3.STYLE_TAPS + mnv3.CONTENT_TAPS)
     variables = jax.jit(model.init, static_argnames=("train",))(

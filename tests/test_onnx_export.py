@@ -78,8 +78,12 @@ def test_transfer_onnx_structure():
         assert name and np.isfinite(arr).all()
 
 
-@pytest.mark.parametrize("extractor,hw", [("dummy", (60, 120)),
-                                          ("mobilenet", (64, 96))])
+@pytest.mark.parametrize(
+    "extractor,hw",
+    [("dummy", (60, 120)),
+     # 33 s: the MobileNet tower through the numpy ONNX interpreter; the
+     # dummy variant covers the predictor head ops in the default tier
+     pytest.param("mobilenet", (64, 96), marks=pytest.mark.slow)])
 def test_predictor_onnx_matches_jax(extractor, hw):
     from realtime_style_transfer_tpu.models.predictor import StylePredictor
 
