@@ -42,6 +42,8 @@ def main() -> None:
     p.add_argument("--tower", choices=("split", "batched", "scan"),
                    default="split",
                    help="loss-tower mode (see losses.make_style_loss_function)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the transfer forward under grad")
     p.add_argument("--k", type=int, nargs=2, default=(2, 6))
     p.add_argument("--trials", type=int, default=3)
     args = p.parse_args()
@@ -55,7 +57,7 @@ def main() -> None:
     config = ShapeConfig.from_spec(args.spec)
     tm = make_style_transfer_training_model(
         config, loss_extractor="vgg", with_depth_loss=False,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, remat=args.remat,
     )
     # ALWAYS rebind (an earlier version only rebound for --split, so both arms
     # of the r3 "batched vs split" measurement actually ran split — the 216.9
@@ -114,6 +116,7 @@ def main() -> None:
         "spec": args.spec,
         "batch": b,
         "tower": args.tower,
+        "remat": args.remat,
         "samples_per_sec": round(b / per_step, 2),
         "device": str(jax.devices()[0]),
     }))
