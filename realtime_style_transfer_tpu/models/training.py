@@ -54,6 +54,7 @@ class StyleTransferTrainingModel:
         dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = False,
         remat: bool = False,
+        tower_mode: str = "split",
         optimizer: Optional[optax.GradientTransformation] = None,
         rng: Optional[jax.Array] = None,
     ):
@@ -115,8 +116,12 @@ class StyleTransferTrainingModel:
             self.depth_variables = None
 
         extractor_apply = lambda imgs: self.loss_module.apply(self.loss_variables, imgs)
+        # tower_mode: how the three extractor invocations are scheduled
+        # (split/batched/scan — value- and gradient-identical; see
+        # losses.make_style_loss_function and tools/bench_train_step.py)
         self.compute_loss = make_style_loss_function(
-            extractor_apply, self.loss_module.factors, depth_loss_fn
+            extractor_apply, self.loss_module.factors, depth_loss_fn,
+            tower_mode=tower_mode,
         )
 
     # ---- state ------------------------------------------------------------

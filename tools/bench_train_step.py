@@ -49,22 +49,18 @@ def main() -> None:
     args = p.parse_args()
 
     from realtime_style_transfer_tpu.config import ShapeConfig
-    from realtime_style_transfer_tpu.models import losses as losses_mod
     from realtime_style_transfer_tpu.models.training import (
         make_style_transfer_training_model,
     )
 
     config = ShapeConfig.from_spec(args.spec)
+    # tower_mode goes through the production constructor (an earlier version
+    # only rebound compute_loss under --split, so both arms of the r3
+    # "batched vs split" measurement actually ran split — the 216.9 vs 190.2
+    # delta was tunnel noise, not a real schedule difference)
     tm = make_style_transfer_training_model(
         config, loss_extractor="vgg", with_depth_loss=False,
-        dtype=jnp.bfloat16, remat=args.remat,
-    )
-    # ALWAYS rebind (an earlier version only rebound for --split, so both arms
-    # of the r3 "batched vs split" measurement actually ran split — the 216.9
-    # vs 190.2 delta was tunnel noise, not a real schedule difference)
-    tm.compute_loss = losses_mod.make_style_loss_function(
-        lambda imgs: tm.loss_module.apply(tm.loss_variables, imgs),
-        tm.loss_module.factors, tower_mode=args.tower,
+        dtype=jnp.bfloat16, remat=args.remat, tower_mode=args.tower,
     )
 
     state = tm.init_state(jax.random.PRNGKey(0))

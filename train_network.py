@@ -29,6 +29,12 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--loss", choices=sorted(LOSS_EXTRACTORS), default="vgg")
+    p.add_argument(
+        "--loss_tower", choices=("split", "batched", "scan"), default="split",
+        help="schedule of the three loss-extractor invocations (identical "
+             "values/gradients; perf differs by hardware — see "
+             "tools/bench_train_step.py)",
+    )
     p.add_argument("--no_depth_loss", action="store_true")
     p.add_argument(
         "--depth_loss", action="store_true",
@@ -118,6 +124,7 @@ def main():
     tm = make_style_transfer_training_model(
         config,
         loss_extractor=args.loss,
+        tower_mode=args.loss_tower,
         with_depth_loss=with_depth,
         depth_variables=depth_variables,
         dtype=cli.compute_dtype(args),
