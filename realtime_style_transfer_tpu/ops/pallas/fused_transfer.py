@@ -444,6 +444,8 @@ class FusedTransfer:
         self._jitted_prepared = jax.jit(self._forward_prepared)
         self._jitted_prepacked = jax.jit(
             lambda p, prep: self._unpack_out(self._run_packed(p, prep)))
+        self._jitted_prepacked_raw = jax.jit(
+            lambda p, prep: self._run_packed(p, prep)[0])
         self._jitted_prepacked_chunk = jax.jit(
             lambda p, prep: self._unpack_out_chunk(
                 self._run_packed_chunk(p, prep)))
@@ -1067,6 +1069,31 @@ class FusedTransfer:
     def stylize_prepacked(self, packed: jnp.ndarray, prepared) -> jnp.ndarray:
         """Per-frame call on a pre-packed frame (see :meth:`pack_frame`)."""
         return self._jitted_prepacked(packed, prepared)
+
+    def stylize_prepacked_raw(self, packed: jnp.ndarray, prepared) -> jnp.ndarray:
+        """Fully-packed deploy loop: pre-packed frame in, PACKED frame out.
+
+        Returns the kernel's own ``(hp, wp, LANE)`` bf16 output buffer with no
+        device-side unpack (zero post-processing in the per-frame graph; the
+        first ``16 * fin_filters`` channels are the stylized subpixels in
+        ``pack`` order — a consumer-side shader/host unpacks via
+        :meth:`unpack_frame_np`).  Pair with :meth:`pack_frame_np` at the
+        source for a per-frame graph that is exactly one kernel launch.
+        """
+        return self._jitted_prepacked_raw(packed, prepared)
+
+    def unpack_frame_np(self, packed_out: np.ndarray) -> np.ndarray:
+        """Host (numpy) twin of the device output unpack.
+
+        ``(hp, wp, >=16*fin_f)`` bf16/float -> ``(1, H, W, 3)`` f32, the same
+        values :meth:`stylize_prepacked` returns (equality unit-tested) — the
+        data-plane consumer for :meth:`stylize_prepacked_raw`.
+        """
+        fin_f = self.plan.expand_blocks[-1][0]
+        x = np.asarray(packed_out[:, :, :16 * fin_f], np.float32)
+        hp, wp = x.shape[:2]
+        y = x.reshape(hp, wp, 4, 4, fin_f).transpose(0, 2, 1, 3, 4)
+        return y.reshape(1, hp * 4, wp * 4, fin_f)
 
     def _w_specs(self, w_inputs):
         """Dual-style mip input specs: wB VMEM-resident (when the compact

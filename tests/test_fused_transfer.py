@@ -224,6 +224,13 @@ def test_prepacked_input_path_matches_direct(flagship_tiny):
         fused.stylize_prepacked(jnp.asarray(packed_np), prepared), np.float32)
     np.testing.assert_array_equal(out, direct)
 
+    # fully-packed deploy contract: packed frame in, PACKED frame out (no
+    # device-side unpack), host unpack twin reproduces stylize_prepacked
+    raw = fused.stylize_prepacked_raw(jnp.asarray(packed_np), prepared)
+    assert raw.shape[:2] == packed_np.shape[:2]
+    unpacked = fused.unpack_frame_np(np.asarray(raw))
+    np.testing.assert_array_equal(unpacked, direct)
+
 
 def test_chunked_launch_matches_single_frames(flagship_tiny):
     """Chunk mode (grid=(N,) — N frames per kernel launch, throughput path)
