@@ -177,8 +177,8 @@ def main() -> None:
 
     t_short = best_elapsed(K_SHORT)
     t_long = best_elapsed(K_LONG)
-    p50 = (t_long - t_short) / (K_LONG - K_SHORT)
-    fps = 1.0 / p50
+    per_frame = (t_long - t_short) / (K_LONG - K_SHORT)
+    fps = 1.0 / per_frame
     print(
         json.dumps(
             {
@@ -186,7 +186,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "p50_frame_ms": round(p50 * 1e3, 3),
+                "frame_ms": round(per_frame * 1e3, 3),  # best-of-trials slope estimate
                 "path": path,
                 "scan_lengths": [K_SHORT, K_LONG],
                 "num_style_parameters": plan.num_style_parameters,

@@ -190,15 +190,18 @@ def make_style_loss_function(
     ``"batched"``):
 
     * ``"split"``  — the reference's three separate invocations (default).
-    * ``"batched"``— one batch-3B pass (see above; slower on v5e).
-    * ``"scan"``   — ``lax.map`` over the batch: 3B batch-1 passes.  The same
-      batch-folding pathology that makes "batched" slow predicts batch-1 conv
-      schedules are the ones XLA:TPU picks well; per-sample results are
-      mathematically identical (the tower is batch-independent: convs/relu/
-      pools, BN in inference mode; equality unit-tested).
+    * ``"batched"``— one batch-3B pass.
+    * ``"scan"``   — ``lax.map`` over the batch: 3B batch-1 passes.
+    All three are mathematically identical per sample (the tower is
+    batch-independent: convs/relu/pools, BN in inference mode; value and
+    gradient equality unit-tested); which schedules best is a hardware/shape
+    question — measure with ``tools/bench_train_step.py --tower ...``.
     """
     if tower_mode is None:
         tower_mode = "batched" if batch_tower else "split"
+    elif batch_tower and tower_mode != "batched":
+        raise ValueError(
+            f"batch_tower=True contradicts tower_mode={tower_mode!r}")
     if tower_mode not in ("split", "batched", "scan"):
         raise ValueError(f"unknown tower_mode {tower_mode!r}")
     batch_tower = tower_mode == "batched"

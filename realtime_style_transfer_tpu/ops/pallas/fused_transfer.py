@@ -536,7 +536,7 @@ class FusedTransfer:
             refs[n_k:n_k + 6]
         w_refs = refs[n_k + 6:n_k + 6 + n_w]
         (out_ref, act_a, act_b, skip_a, skip_b,
-         stats_sc, affine_sc, sem, ksem) = refs[n_k + 6 + n_w:]
+         stats_sc, affine_sc, ksem) = refs[n_k + 6 + n_w:]
         if chunked:
             # Chunk mode: grid=(N,) iterates frames SEQUENTIALLY inside ONE
             # kernel launch (amortizes launch + per-launch host dispatch).
@@ -1108,19 +1108,30 @@ class FusedTransfer:
     def _run_raw(self, content, prepared):
         return self._run_packed(self.pack_frame(content), prepared)
 
-    def _run_packed(self, p, prepared):
-        hp, wp = self.hp, self.wp
-        style_tbl, *w_inputs = prepared
-
-        out_shapes = (
+    def _act_out_shapes(self, hp, wp):
+        """The kernel's five HBM outputs (stylized + ping-pong + skips)."""
+        return (
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # out
             jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actA
             jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actB
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipA
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipB
         )
-        results = pl.pallas_call(
-            self._kernel_fn,
+
+    def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None):
+        """Shared ``pallas_call`` builder for the single-frame and chunk
+        launches — one place for the in/out specs, scratch, and operands."""
+        style_tbl, *w_inputs = prepared
+        kwargs = {}
+        if grid is not None:
+            kwargs["grid"] = grid
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                has_side_effects=True, dimension_semantics=("arbitrary",))
+        else:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                has_side_effects=True)
+        return pl.pallas_call(
+            kernel_fn,
             in_specs=(
                 [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
@@ -1133,14 +1144,17 @@ class FusedTransfer:
             scratch_shapes=[
                 pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
                 pltpu.VMEM((4, STATS_C), jnp.float32),   # affine (+ deltas)
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),             # ksem: kernel copies
             ],
             interpret=self.interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            **kwargs,
         )(p, *self._kernels, self._biases, self._contract, style_tbl,
           self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"], *w_inputs)
-        return results
+
+    def _run_packed(self, p, prepared):
+        return self._launch(
+            self._kernel_fn, p, prepared,
+            self._act_out_shapes(self.hp, self.wp))
 
     def _run_packed_chunk(self, p, prepared):
         """N pre-packed frames through ONE kernel launch (grid=(N,)).
@@ -1155,40 +1169,11 @@ class FusedTransfer:
         Latency mode stays :meth:`_run_packed` (one frame per launch).
         """
         n, hp, wp = p.shape[0], self.hp, self.wp
-        style_tbl, *w_inputs = prepared
+        out, *rest = self._act_out_shapes(hp, wp)
         out_shapes = (
-            jax.ShapeDtypeStruct((n, hp, wp, LANE), jnp.bfloat16),  # out
-            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),    # actA
-            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),    # actB
-            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),     # skipA
-            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),     # skipB
-        )
-        results = pl.pallas_call(
-            self._kernel_fn_chunked,
-            grid=(n,),
-            in_specs=(
-                [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                + self._w_specs(w_inputs)
-            ),
-            out_specs=tuple(
-                pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
-            ),
-            out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
-                pltpu.VMEM((4, STATS_C), jnp.float32),   # affine (+ deltas)
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            interpret=self.interpret,
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True,
-                dimension_semantics=("arbitrary",),
-            ),
-        )(p, *self._kernels, self._biases, self._contract, style_tbl,
-          self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"], *w_inputs)
-        return results
+            jax.ShapeDtypeStruct((n,) + out.shape, out.dtype),) + tuple(rest)
+        return self._launch(
+            self._kernel_fn_chunked, p, prepared, out_shapes, grid=(n,))
 
     def stylize_prepacked_chunk(self, packed: jnp.ndarray, prepared):
         """(N, hp, wp, Cp) pre-packed frames -> (N, H, W, 3) in one launch."""

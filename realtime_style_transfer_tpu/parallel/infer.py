@@ -80,8 +80,11 @@ class FusedStreamStylizer:
     hoists style params the same way) and replicated; there are no collectives
     — throughput scales linearly over ICI-connected chips.
 
-    ``path='auto'`` uses the fused kernel when the plan qualifies, else the
-    XLA packed path (same fallback rule as ``predict_video --path auto``).
+    ``path='auto'`` uses the fused kernel when the plan qualifies AND a real
+    accelerator backs the mesh, else the XLA packed path (same fallback rule
+    as ``predict_video --path auto`` — interpret-mode Pallas is Python-speed,
+    so auto never selects it on CPU; ``path='fused'`` still forces it, which
+    is what tests/dryruns use).
     """
 
     def __init__(self, variables, plan: TransferPlan, mesh: Mesh, *,
@@ -98,7 +101,12 @@ class FusedStreamStylizer:
         batch = NamedSharding(mesh, P(DATA_AXIS))
 
         self._fused = None
-        if path in ("auto", "fused"):
+        want_fused = path == "fused" or (
+            path == "auto"
+            and not interpret
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        if want_fused:
             from ..ops.pallas.fused_transfer import FusedTransfer
 
             try:

@@ -110,8 +110,8 @@ def test_depth_loss_term(rng):
 def test_batch_tower_loss_is_bit_identical():
     """batch_tower=True (one batch-3B extractor pass) == the reference's three
     separate invocations (styleLoss.py:316-318), bit-for-bit — the tower is
-    batch-independent.  (On TPU v5e it is nonetheless SLOWER; see
-    make_style_loss_function's docstring and tools/bench_train_step.py.)"""
+    batch-independent.  (Which mode is FASTER is a hardware/shape question;
+    measure with tools/bench_train_step.py --tower.)"""
     import functools
 
     rng = np.random.default_rng(0)

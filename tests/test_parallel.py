@@ -139,7 +139,9 @@ def test_fused_stream_stylizer_matches_single_chip():
         jax.random.PRNGKey(3), content1, sp, train=False)
 
     mesh = make_mesh(8, spatial=1)
-    streamer = FusedStreamStylizer(variables, plan, mesh, interpret=True)
+    # path='fused' explicitly: auto never selects interpret-mode Pallas on CPU
+    streamer = FusedStreamStylizer(
+        variables, plan, mesh, path="fused", interpret=True)
     assert streamer.path == "fused"
     prepared = streamer.prepare_style(sp)
     frames = jnp.asarray(rng.random((8,) + cfg.content_shape), jnp.float32)

@@ -140,16 +140,19 @@ def test_predict_video_data_parallel(frames_and_run, tmp_path):
     3 frames -> 2 steps with a padded tail that must be dropped on write."""
     root, run = frames_and_run
     out = tmp_path / "video.mp4"
-    # 3rd content frame so the last group is padded
-    extra = root / "content" / "validation" / "2.png"
-    if not extra.exists():
-        arr = (np.random.default_rng(9).random((70, 130, 3)) * 255)
-        PIL.Image.fromarray(arr.astype(np.uint8)).save(extra)
+    # private copy of the content dir + a 3rd frame so the last group is
+    # padded — do NOT mutate the module-scoped fixture directory
+    import shutil
+
+    frames_dir = tmp_path / "content"
+    shutil.copytree(root / "content" / "validation", frames_dir)
+    arr = (np.random.default_rng(9).random((70, 130, 3)) * 255)
+    PIL.Image.fromarray(arr.astype(np.uint8)).save(frames_dir / "2.png")
     run_cli(
         "predict_video_using_checkpoint.py",
         "--network_spec", SPEC, "--sdr", "--dtype", "float32",
         "-C", run, "-s", root / "style" / "validation" / "0.png",
-        "--frames_dir", root / "content" / "validation",
+        "--frames_dir", frames_dir,
         "-o", out, "--max_frames", "3", "--data_parallel", "2",
     )
     frames = sorted((tmp_path / "video").glob("frame_*.png"))
@@ -163,7 +166,7 @@ def test_predict_video_data_parallel(frames_and_run, tmp_path):
         "predict_video_using_checkpoint.py",
         "--network_spec", SPEC, "--sdr", "--dtype", "float32",
         "-C", run, "-s", root / "style" / "validation" / "0.png",
-        "--frames_dir", root / "content" / "validation",
+        "--frames_dir", frames_dir,
         "-o", out2, "--max_frames", "3", "--path", "packed",
     )
     single = sorted((tmp_path / "video_single").glob("frame_*.png"))

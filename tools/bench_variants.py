@@ -132,7 +132,7 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "p50_frame_ms": round(per * 1e3, 3),
+        "frame_ms": round(per * 1e3, 3),  # best-of-trials slope estimate
         "path": path,
         "device": str(jax.devices()[0]),
     }))
