@@ -148,3 +148,7 @@ def test_batch_tower_loss_is_bit_identical():
         jax.grad(lambda p: jnp.sum(split_fn(p, gt)["loss"])))(pred)
     np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_split),
                                rtol=1e-5, atol=1e-6)
+    # contradictory legacy/new knobs must raise, not silently pick one
+    with pytest.raises(ValueError):
+        make_style_loss_function(apply_fn, ext.factors,
+                                 batch_tower=True, tower_mode="split")
