@@ -78,6 +78,30 @@ def test_distributed_train_step_matches_single_device():
                                rtol=2e-3, atol=1e-5)
 
 
+def test_distributed_train_step_scan_tower_matches_split():
+    """tower_mode='scan' (lax.map over batch-1 loss passes) under the mesh ==
+    the split tower on one device: the schedule knob must not change training
+    math, and GSPMD must handle the scanned batch axis being data-sharded."""
+    tm_split = make_style_transfer_training_model(TINY, loss_extractor="dummy")
+    tm_scan = make_style_transfer_training_model(
+        TINY, loss_extractor="dummy", tower_mode="scan")
+    batch = jax.tree.map(jnp.asarray, _batch(TINY, 8))
+
+    state0 = tm_split.init_state(jax.random.PRNGKey(0))
+    _, metrics_single = tm_split.jitted_train_step(donate=False)(state0, batch)
+
+    mesh = make_mesh(8, spatial=2)
+    trainer = DistributedTrainer(tm_scan, mesh)
+    state1 = trainer.init_state(jax.random.PRNGKey(0))
+    _, metrics_dist = trainer.train_step(state1, trainer.shard_batch(batch))
+
+    for key in metrics_single:
+        np.testing.assert_allclose(
+            float(metrics_single[key]), float(metrics_dist[key]),
+            rtol=2e-3, atol=1e-4,
+        )
+
+
 @pytest.mark.slow
 def test_distributed_stylizer_matches_single_device():
     model = make_inference_model(TINY)
