@@ -97,6 +97,43 @@ def slope_ms(step_fn, x, w, k_lo=K_LO, k_hi=K_HI):
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo) * 1e3
 
 
+def make_band_mm(dtype, acc_dtype):
+    """Band-realistic probe: the fused kernel's exact access pattern.
+
+    A (rows, wpad, cin) 'temp' buffer sliced into dx slabs, dy row windows,
+    reshaped to (th*wp, cin) patches, 9 tap matmuls accumulated — mirrors
+    fused_transfer.run_conv's MXU inner loop (res-core shape th=10, wp=240).
+    Tests whether Mosaic tolerates int8 sublane slicing (granularity 32 vs
+    bf16's 8) at full speed.
+    """
+    TH, WP, CIN, COUT, PH, PW = 10, 240, 128, 128, 3, 3
+    rows = TH + PH - 1
+    wpad = _round_up_probe(WP + PW - 1, 8)
+    interpret = os.environ.get("RST_PLATFORM") == "cpu"
+
+    def kern(t_ref, k_ref, o_ref):
+        acc = jnp.zeros((TH * WP, COUT), acc_dtype)
+        for dx in range(PW):
+            slab = t_ref[:, dx:dx + WP, :]
+            for dy in range(PH):
+                patch = slab[dy:dy + TH].reshape(TH * WP, CIN)
+                acc += jnp.dot(patch, k_ref[dy, dx],
+                               preferred_element_type=acc_dtype)
+        o_ref[...] = acc
+
+    def call(t, k):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((TH * WP, COUT), acc_dtype),
+            interpret=interpret,
+        )(t, k)
+    return call, (rows, wpad, CIN), (PH, PW, CIN, COUT), 2 * TH * WP * CIN * COUT * PH * PW
+
+
+def _round_up_probe(x, m):
+    return (x + m - 1) // m * m
+
+
 def main():
     if os.environ.get("RST_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["RST_PLATFORM"])
@@ -145,10 +182,44 @@ def main():
             results[name] = None
             print(f"{name:12s}: FAILED {exc!r}", flush=True)
 
-    if results.get("pallas_bf16") and results.get("pallas_int8"):
-        r = results["pallas_int8"][0] / results["pallas_bf16"][0]
-        print(f"int8/bf16 pallas time ratio: {r:.2f} "
-              f"({'INVEST' if r < 0.7 else 'negative result'})")
+    # --- band-realistic probes (the fused kernel's exact slicing pattern) ---
+    for name, dtype, acc_dtype, mk in (
+        ("band_bf16", jnp.bfloat16, jnp.float32,
+         lambda v: v.astype(jnp.bfloat16)),
+        ("band_int8", jnp.int8, jnp.int32,
+         lambda v: (v % 3 - 1).astype(jnp.int8)),
+    ):
+        mm, t_shape, k_shape, flops1 = make_band_mm(dtype, acc_dtype)
+        if dtype == jnp.int8:
+            t = jnp.asarray(rng.integers(-127, 127, t_shape), dtype)
+            k_ = jnp.asarray(rng.integers(-127, 127, k_shape), dtype)
+        else:
+            t = jnp.asarray(rng.standard_normal(t_shape), dtype)
+            k_ = jnp.asarray(rng.standard_normal(k_shape), dtype)
+
+        def band_step(t, k_, mm=mm, cast=mk):
+            o = mm(t, k_)
+            for _ in range(NREP - 1):
+                t = t.at[0, 0, 0].set(cast(o[0, 0]))
+                o = mm(t, k_)
+            return o
+
+        try:
+            ms = slope_ms(band_step, t, k_)
+            tflops = flops1 * NREP / (ms * 1e-3) / 1e12
+            results[name] = (ms, tflops)
+            print(f"{name:12s}: {ms:7.3f} ms/step  {tflops:7.1f} TOP/s",
+                  flush=True)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = None
+            print(f"{name:12s}: FAILED {exc!r}", flush=True)
+
+    for a, b, tag in (("pallas_int8", "pallas_bf16", "plain"),
+                      ("band_int8", "band_bf16", "band")):
+        if results.get(a) and results.get(b):
+            r = results[a][0] / results[b][0]
+            print(f"int8/bf16 {tag} time ratio: {r:.2f} "
+                  f"({'INVEST' if r < 0.7 else 'negative result'})")
 
 
 if __name__ == "__main__":
