@@ -197,7 +197,9 @@ class FusedTransfer:
     def __init__(self, variables, plan: TransferPlan, *,
                  num_styles: int = 1,
                  cin_epsilon: float = CIN_EPS, interpret: bool = False,
-                 debug_stages: Optional[int] = None):
+                 debug_stages: Optional[int] = None,
+                 quant: Optional[str] = None,
+                 act_scales: Optional[np.ndarray] = None):
         if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
             raise ValueError("fused kernel supports the 2-contract/2-expand "
                              "(flagship) family; use stylize_packed otherwise")
@@ -226,6 +228,20 @@ class FusedTransfer:
             raise ValueError("need at least 2 row bands")
         # compact VMEM-resident wB plane needs 8-aligned window math
         self._wb_resident = self.dual and self.hp % 8 == 0
+        # int8 deploy quantization (opt-in): int8 kernels (per-cout scales)
+        # x int8 activations (static per-stage scales from calibrate_act_
+        # scales) on the conv-stage MXU path; accumulate int32, dequantize
+        # into the f32 epilogue.  The v5e MXU's int8 peak is 2x bf16, and
+        # the bf16 MXU floor is ~70% of the measured frame (ROADMAP
+        # "Executed-FLOP audit").  No reference counterpart (the reference
+        # deploys f32 ONNX); this is a deploy-mode knob like TF-Lite PTQ.
+        if quant not in (None, "int8"):
+            raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+        self.quant = quant == "int8"
+        if self.quant and act_scales is None:
+            raise ValueError("quant='int8' requires act_scales from "
+                             "calibrate_act_scales() on the bf16 engine")
+        self._quant_act_scales = act_scales
         self._build(variables)
 
     # ---- host-side weight prep ------------------------------------------
@@ -436,7 +452,37 @@ class FusedTransfer:
                     ranges.append((start * LANE, (prev + 1) * LANE))
                     tap_chunks[(dy, dx)] = ranges
             self._taps.append(tap_chunks)
-        self._kernels = [jnp.asarray(k, jnp.bfloat16) for k in kernels]
+        if self.quant:
+            scales = np.asarray(self._quant_act_scales, np.float32)
+            if scales.shape != (len(kernels), ACT_C):
+                raise ValueError(
+                    f"act_scales must be ({len(kernels)}, {ACT_C}) per-"
+                    f"channel maxima from calibrate_act_scales(); got "
+                    f"{scales.shape}")
+            q_kernels, dq_rows, inv_rows = [], [], []
+            for k, s_row in zip(kernels, scales):
+                # per-INPUT-channel activation scales fold exactly into the
+                # weight's cin rows: y = sum_c (x_c/s_c)(k_c*s_c) — so mixed-
+                # range G-buffer channels don't crush each other's precision;
+                # then symmetric per-OUTPUT-channel weight scales for int8
+                s_c = np.maximum(s_row[:k.shape[2]], 1e-6)
+                k_scaled = k * s_c[None, None, :, None]
+                s_w = np.abs(k_scaled).reshape(-1, k.shape[3]).max(axis=0)
+                s_w = np.maximum(s_w / 127.0, 1e-12)
+                q_kernels.append(
+                    np.clip(np.rint(k_scaled / s_w), -127, 127)
+                    .astype(np.int8))
+                dq = np.zeros(ACT_C, np.float32)
+                dq[:k.shape[3]] = s_w / 127.0
+                dq_rows.append(dq)
+                inv = np.zeros(ACT_C, np.float32)
+                inv[:k.shape[2]] = 127.0 / s_c
+                inv_rows.append(inv)
+            self._kernels = [jnp.asarray(k) for k in q_kernels]
+            self._dequant = jnp.asarray(np.stack(dq_rows))
+            self._act_inv = jnp.asarray(np.stack(inv_rows))
+        else:
+            self._kernels = [jnp.asarray(k, jnp.bfloat16) for k in kernels]
         self._biases = jnp.asarray(np.stack(biases), jnp.float32)
         self._contract = jnp.asarray(np.stack(contract_rows), jnp.float32)
         self._g_jnp = {k: jnp.asarray(v) for k, v in self._g.items()}
@@ -499,20 +545,25 @@ class FusedTransfer:
         has_transform = (st.in_affine or st.in_relu
                          or st.skip_in is not None)
         budget = (12 if self.dual else 14) * 2 ** 20
+        # int8 mode: temp + kernel shrink to 1 byte/elt, but the f32
+        # quantize chain keeps an extra temporary live
+        mm_sz = 1 if self.quant else 2
         for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
                          reverse=True):
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
             est = (
-                rows * wpad * st.cin * 2              # padded temp (bf16)
+                rows * wpad * st.cin * mm_sz          # padded temp
                 + 2 * rows * wp * st.cin * 2          # staging ring
                 + 2 * th * wp * st.cout * 2           # out ring
-                + th * wp * st.cout * 4               # f32 accumulator
-                + int(np.prod(self._kernels[si].shape)) * 2
+                + th * wp * st.cout * 4               # f32/i32 accumulator
+                + int(np.prod(self._kernels[si].shape)) * mm_sz
             )
             if has_transform:
                 # bf16 chain temp; dual blends keep a second one live
                 est += rows * wp * st.cin * (4 if self.dual else 2)
+            if self.quant:
+                est += rows * wp * st.cin * 4         # f32 quantize temp
             if has_skip:
                 est += 2 * (rows + th) * wp * LANE * 2
             if has_w or w_resident:
@@ -528,15 +579,31 @@ class FusedTransfer:
     def _kernel_fn_chunked(self, content, *refs):
         return self._kernel_impl(True, content, *refs)
 
-    def _kernel_impl(self, chunked, content, *refs):
+    def _kernel_fn_calibrate(self, content, *refs):
+        return self._kernel_impl(False, content, *refs, calibrate=True)
+
+    def _kernel_impl(self, chunked, content, *refs, calibrate=False):
         n_k = len(self._kernels)
         kernel_refs = refs[:n_k]
         n_w = 4 if self.dual else 0
         bias_tbl, contract_tbl, style_tbl, g_e0, g_e1, g_fin = \
             refs[n_k:n_k + 6]
-        w_refs = refs[n_k + 6:n_k + 6 + n_w]
-        (out_ref, act_a, act_b, skip_a, skip_b,
-         stats_sc, affine_sc, ksem) = refs[n_k + 6 + n_w:]
+        nt = n_k + 6
+        dequant_tbl = act_inv_tbl = None
+        if self.quant:
+            dequant_tbl, act_inv_tbl = refs[nt:nt + 2]
+            nt += 2
+        w_refs = refs[nt:nt + n_w]
+        tail = refs[nt + n_w:]
+        cal_out = cal_sc = None
+        if calibrate:
+            (out_ref, act_a, act_b, skip_a, skip_b, cal_out,
+             stats_sc, affine_sc, ksem, cal_sc) = tail
+            # zero the padded rows once; stages overwrite their own row
+            cal_out[...] = jnp.zeros_like(cal_out)
+        else:
+            (out_ref, act_a, act_b, skip_a, skip_b,
+             stats_sc, affine_sc, ksem) = tail
         if chunked:
             # Chunk mode: grid=(N,) iterates frames SEQUENTIALLY inside ONE
             # kernel launch (amortizes launch + per-launch host dispatch).
@@ -696,6 +763,25 @@ class FusedTransfer:
                     else:
                         xt = stag[slot]
 
+                    if calibrate:
+                        # per-channel max over the exact matmul input (incl.
+                        # the clamped halo rows, which are real activations)
+                        m = jnp.max(jnp.abs(xt.astype(jnp.float32)),
+                                    axis=(0, 1))
+                        cal_sc[0:1, :st.cin] = jnp.maximum(
+                            cal_sc[0:1, :st.cin], m[None, :])
+                    if self.quant:
+                        # static per-stage per-channel scales: quantize in
+                        # the same pass that staged into temp before (f32
+                        # mul for rounding headroom)
+                        inv = act_inv_tbl[si:si + 1, :st.cin].reshape(
+                            1, 1, st.cin)
+                        xt_q = jnp.clip(
+                            jnp.rint(xt.astype(jnp.float32) * inv),
+                            -127.0, 127.0).astype(jnp.int8)
+                    else:
+                        xt_q = xt
+
                     if st.skip_out is not None:
                         # wait for the DMA that used this ring slot 2 bands ago
                         @pl.when(i >= 2)
@@ -718,20 +804,20 @@ class FusedTransfer:
                     xw = -st.lo_x  # content column offset in temp
 
                     if first_shift == 0 and last_shift == 0:
-                        temp[pl.ds(0, rows), xw:xw + wp, :] = xt
+                        temp[pl.ds(0, rows), xw:xw + wp, :] = xt_q
                     else:
                         @pl.when(jnp.logical_and(i > 0, i < nb - 1))
                         def _():
-                            temp[pl.ds(0, rows), xw:xw + wp, :] = xt
+                            temp[pl.ds(0, rows), xw:xw + wp, :] = xt_q
                         @pl.when(i == 0)
                         def _():
                             temp[pl.ds(first_shift, rows - first_shift),
-                                 xw:xw + wp, :] = xt[
+                                 xw:xw + wp, :] = xt_q[
                                 0:rows - first_shift]
                         @pl.when(i == nb - 1)
                         def _():
                             temp[pl.ds(0, rows - last_shift),
-                                 xw:xw + wp, :] = xt[
+                                 xw:xw + wp, :] = xt_q[
                                 last_shift:rows]
                             # rows above were band nb-2's content: they are
                             # this band's bottom halo and must be zero
@@ -743,7 +829,8 @@ class FusedTransfer:
                     # (contiguous in (row, W)), then dy slices reshape for
                     # free; structurally-zero taps and cin chunks are skipped
                     taps = self._taps[si]
-                    acc = jnp.zeros((th * wp, st.cout), jnp.float32)
+                    acc_dt = jnp.int32 if self.quant else jnp.float32
+                    acc = jnp.zeros((th * wp, st.cout), acc_dt)
                     for dx in sorted(set(d for _, d in taps)):
                         slab = temp[:, dx:dx + wp, :]
                         for dy in range(st.ph):
@@ -753,7 +840,12 @@ class FusedTransfer:
                             for c0, c1 in taps[(dy, dx)]:
                                 acc += jnp.dot(
                                     patch[:, c0:c1], kbuf[dy, dx, c0:c1],
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=acc_dt)
+                    if self.quant:
+                        # exact int32 sum -> f32 via the folded (s_x*s_w/127)
+                        # per-cout dequant row; epilogue below is unchanged
+                        acc = acc.astype(jnp.float32) * \
+                            dequant_tbl[si:si + 1, :st.cout]
                     bias = bias_tbl[si:si + 1, :st.cout]
                     if st.epi == "contract":
                         acc = jnp.maximum(acc + bias, 0.0)
@@ -784,6 +876,8 @@ class FusedTransfer:
 
                 if st.stats:
                     stats_sc[...] = jnp.zeros_like(stats_sc)
+                if calibrate:
+                    cal_sc[...] = jnp.zeros_like(cal_sc)
                 # Halo-only zeroing: bands overwrite the content columns
                 # [xw0, xw0+wp) every iteration (band 0 additionally needs a
                 # zero top halo; the last band re-zeroes its bottom halo
@@ -806,6 +900,9 @@ class FusedTransfer:
                 if st.skip_out is not None:
                     skip_out_dma((nb - 2) % 2, nb - 2).wait()
                     skip_out_dma((nb - 1) % 2, nb - 1).wait()
+
+                if calibrate:
+                    cal_out[pl.ds(si, 1), :] = cal_sc[...]
 
                 if st.stats:
                     n = jnp.float32(st.n_per_channel)
@@ -834,10 +931,11 @@ class FusedTransfer:
                         affine_sc[2:3, :gw] = a1 - a
                         affine_sc[3:4, :gw] = b1 - b
 
+            mm_dt = jnp.int8 if self.quant else jnp.bfloat16
             scratch = [
-                pltpu.VMEM((rows, wpad, st.cin), jnp.bfloat16),
+                pltpu.VMEM((rows, wpad, st.cin), mm_dt),
                 pltpu.VMEM((2, rows, wp, st.cin), jnp.bfloat16),
-                pltpu.VMEM(self._kernels[si].shape, jnp.bfloat16),
+                pltpu.VMEM(self._kernels[si].shape, mm_dt),
                 pltpu.VMEM((2, th, wp, st.cout), jnp.bfloat16),
             ]
             if has_skip:
@@ -1066,6 +1164,34 @@ class FusedTransfer:
         out[:, :, : f * f * c] = y.astype(ml_dtypes.bfloat16)
         return out
 
+    def calibrate_act_scales(self, packed_frames, prepared) -> np.ndarray:
+        """Per-stage per-channel activation maxima for int8 PTQ.
+
+        Runs the kernel itself in a calibration mode that records, per conv
+        stage and input channel, the max |x| of the exact matmul input (post
+        CIN-affine/relu/skip, pre-quantization) — so the scales correspond
+        one-to-one to what ``quant='int8'`` will quantize.
+        ``packed_frames``: iterable of pre-packed frames
+        (:meth:`pack_frame`).  Returns ``(n_conv_stages, ACT_C)`` float32 to
+        pass as ``act_scales`` when rebuilding with ``quant='int8'``.  Run
+        on the bf16 engine (quant engines refuse).
+        """
+        if self.quant:
+            raise ValueError("calibrate on the bf16 engine, not a quant one")
+        n_rows = _round_up(len(self.stages), 8)
+        out_shapes = self._act_out_shapes(self.hp, self.wp) + (
+            jax.ShapeDtypeStruct((n_rows, ACT_C), jnp.float32),)
+        run = jax.jit(lambda p, prep: self._launch(
+            self._kernel_fn_calibrate, p, prep, out_shapes,
+            calibrate=True)[-1])
+        mx = None
+        for p in packed_frames:
+            m = np.asarray(run(p, prepared))
+            mx = m if mx is None else np.maximum(mx, m)
+        if mx is None:
+            raise ValueError("need at least one calibration frame")
+        return mx[:len(self._kernels)].astype(np.float32)
+
     def stylize_prepacked(self, packed: jnp.ndarray, prepared) -> jnp.ndarray:
         """Per-frame call on a pre-packed frame (see :meth:`pack_frame`)."""
         return self._jitted_prepacked(packed, prepared)
@@ -1118,7 +1244,8 @@ class FusedTransfer:
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipB
         )
 
-    def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None):
+    def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None,
+                calibrate=False):
         """Shared ``pallas_call`` builder for the single-frame and chunk
         launches — one place for the in/out specs, scratch, and operands."""
         style_tbl, *w_inputs = prepared
@@ -1130,26 +1257,34 @@ class FusedTransfer:
         else:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 has_side_effects=True)
+        tables = [self._biases, self._contract, style_tbl,
+                  self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"]]
+        if self.quant:
+            tables += [self._dequant, self._act_inv]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes]
+        scratch = [
+            pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
+            pltpu.VMEM((4, STATS_C), jnp.float32),   # affine (+ deltas)
+            pltpu.SemaphoreType.DMA(()),             # ksem: kernel copies
+        ]
+        if calibrate:
+            # the per-stage act-max output rides in VMEM (tiny) so stages
+            # can store rows directly
+            out_specs[-1] = pl.BlockSpec(memory_space=pltpu.VMEM)
+            scratch.append(pltpu.VMEM((1, ACT_C), jnp.float32))
         return pl.pallas_call(
             kernel_fn,
             in_specs=(
                 [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
                 + self._w_specs(w_inputs)
             ),
-            out_specs=tuple(
-                pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
-            ),
+            out_specs=tuple(out_specs),
             out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
-                pltpu.VMEM((4, STATS_C), jnp.float32),   # affine (+ deltas)
-                pltpu.SemaphoreType.DMA(()),             # ksem: kernel copies
-            ],
+            scratch_shapes=scratch,
             interpret=self.interpret,
             **kwargs,
-        )(p, *self._kernels, self._biases, self._contract, style_tbl,
-          self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"], *w_inputs)
+        )(p, *self._kernels, *tables, *w_inputs)
 
     def _run_packed(self, p, prepared):
         return self._launch(

@@ -1,0 +1,131 @@
+"""int8-quantized fused kernel: calibrate -> quantize -> parity (interpret).
+
+Deploy-mode post-training quantization of the whole-net Pallas kernel
+(``ops/pallas/fused_transfer.py`` ``quant='int8'``): per-input-channel
+activation scales (captured by the kernel's own calibration mode) folded
+into per-output-channel int8 weights, int32 accumulation, dequant in the
+f32 epilogue.  No reference counterpart (the reference deploys f32 ONNX,
+``save_using_checkpoint.py:90-103``); this is a TPU-serving knob (the v5e
+MXU's int8 peak is 2x bf16).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode whole-net kernels
+
+from realtime_style_transfer_tpu.config import ShapeConfig
+from realtime_style_transfer_tpu.models.inference import plan_from_config
+from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+    ACT_C,
+    FusedTransfer,
+)
+
+TINY = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                   bottleneck_num_filters=8, num_channels=17, hdr=True)
+
+
+def _build(num_styles: int):
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True,
+                      num_styles=num_styles)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=num_styles)
+    rng = np.random.default_rng(21 + num_styles)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, num_styles, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    kwargs = {}
+    if num_styles == 2:
+        h, w, _ = cfg.content_shape
+        yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None, None]
+        kwargs["style_weights"] = jnp.asarray(
+            np.broadcast_to(yy, (1, h, w, 1)).copy())
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content, style_params, train=False, **kwargs)
+    return plan, jax.device_get(variables), content, style_params, kwargs
+
+
+@pytest.fixture(scope="module")
+def single():
+    return _build(1)
+
+
+def _quant_pair(plan, variables, style_params, content, style_weights=None):
+    ft = FusedTransfer(variables, plan, interpret=True,
+                       num_styles=2 if style_weights is not None else 1)
+    prepared = ft.prepare_style(style_params, style_weights)
+    packed = ft.pack_frame(content)
+    ref = np.asarray(ft.stylize_prepacked(packed, prepared), np.float32)
+    scales = ft.calibrate_act_scales([packed], prepared)
+    ftq = FusedTransfer(variables, plan, interpret=True,
+                        num_styles=2 if style_weights is not None else 1,
+                        quant="int8", act_scales=scales)
+    got = np.asarray(
+        ftq.stylize_prepacked(packed, ftq.prepare_style(
+            style_params, style_weights)), np.float32)
+    return ref, got, scales
+
+
+def test_quant_single_style_close_to_bf16(single):
+    plan, variables, content, style_params, _ = single
+    ref, got, scales = _quant_pair(plan, variables, style_params, content)
+    assert scales.shape == (17, ACT_C)  # tiny stem kernel doesn't N-split
+    # per-channel PTQ through all 17 stages: a few 1/254-granularity steps
+    err = np.abs(got - ref)
+    assert err.max() < 0.06
+    assert np.median(err) < 0.01
+    mse = float(np.mean((got - ref) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, psnr
+
+
+def test_quant_dual_style_close_to_bf16():
+    plan, variables, content, style_params, kw = _build(2)
+    ref, got, _ = _quant_pair(plan, variables, style_params, content,
+                              style_weights=kw["style_weights"])
+    err = np.abs(got - ref)
+    assert err.max() < 0.06
+    assert np.median(err) < 0.01
+
+
+def test_calibration_scales_cover_active_channels(single):
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    prepared = ft.prepare_style(style_params)
+    packed = ft.pack_frame(content)
+    scales = ft.calibrate_act_scales([packed], prepared)
+    # stage 0 sees the packed content: 17ch * 16 subpixels active
+    assert (scales[0, :17 * 16] > 0).all()
+    assert (scales[0, 17 * 16:] == 0).all()  # zero-padded lanes stay zero
+    # maxing over two identical frames changes nothing
+    again = ft.calibrate_act_scales([packed, packed], prepared)
+    np.testing.assert_array_equal(scales, again)
+
+
+def test_quant_requires_and_validates_scales(single):
+    plan, variables, _, _, _ = single
+    with pytest.raises(ValueError, match="act_scales"):
+        FusedTransfer(variables, plan, interpret=True, quant="int8")
+    with pytest.raises(ValueError, match="per-"):
+        FusedTransfer(variables, plan, interpret=True, quant="int8",
+                      act_scales=np.ones((3, ACT_C), np.float32))
+    with pytest.raises(ValueError, match="quant"):
+        FusedTransfer(variables, plan, interpret=True, quant="fp8")
+
+
+def test_calibrate_refuses_on_quant_engine(single):
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    prepared = ft.prepare_style(style_params)
+    packed = ft.pack_frame(content)
+    scales = ft.calibrate_act_scales([packed], prepared)
+    ftq = FusedTransfer(variables, plan, interpret=True,
+                        quant="int8", act_scales=scales)
+    with pytest.raises(ValueError, match="bf16 engine"):
+        ftq.calibrate_act_scales([packed], prepared)
