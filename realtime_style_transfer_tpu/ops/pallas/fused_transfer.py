@@ -496,6 +496,7 @@ class FusedTransfer:
             lambda p, prep: self._unpack_out_chunk(
                 self._run_packed_chunk(p, prep)))
         self._jit_prepare = jax.jit(self._prepare)
+        self._jitted_calibrate = None  # built lazily on first calibration
 
     # ---- style table (per call; tiny jnp ops under jit) -------------------
 
@@ -524,7 +525,7 @@ class FusedTransfer:
 
     # ---- the kernel ---------------------------------------------------------
 
-    def _pick_th(self, si: int, st: _Stage) -> int:
+    def _pick_th(self, si: int, st: _Stage, *, calibrate: bool = False) -> int:
         """Largest band height whose stage VMEM footprint stays in budget.
 
         Bigger bands amortize per-band DMA issue/copy overhead and the band
@@ -564,6 +565,9 @@ class FusedTransfer:
                 est += rows * wp * st.cin * (4 if self.dual else 2)
             if self.quant:
                 est += rows * wp * st.cin * 4         # f32 quantize temp
+            if calibrate:
+                # calibration materializes |xt| as a full-band f32 temp
+                est += rows * wp * st.cin * 4
             if has_skip:
                 est += 2 * (rows + th) * wp * LANE * 2
             if has_w or w_resident:
@@ -622,7 +626,7 @@ class FusedTransfer:
         eps = self.eps
 
         def run_conv(si: int, st: _Stage, k_ref):
-            th = self._pick_th(si, st)
+            th = self._pick_th(si, st, calibrate=calibrate)
             nb = hp // th
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
@@ -1175,18 +1179,27 @@ class FusedTransfer:
         (:meth:`pack_frame`).  Returns ``(n_conv_stages, ACT_C)`` float32 to
         pass as ``act_scales`` when rebuilding with ``quant='int8'``.  Run
         on the bf16 engine (quant engines refuse).
+
+        The scales are per (checkpoint, style), not per checkpoint: the
+        maxima are captured AFTER the CIN affine, whose scale/bias come from
+        ``prepared``.  Deploying the quant engine with a different style
+        table than the one calibrated against can saturate the ±127 clip
+        and silently degrade output.  For a multi-style deploy, call once
+        per style table and ``np.maximum`` the results (maxima compose
+        conservatively).
         """
         if self.quant:
             raise ValueError("calibrate on the bf16 engine, not a quant one")
-        n_rows = _round_up(len(self.stages), 8)
-        out_shapes = self._act_out_shapes(self.hp, self.wp) + (
-            jax.ShapeDtypeStruct((n_rows, ACT_C), jnp.float32),)
-        run = jax.jit(lambda p, prep: self._launch(
-            self._kernel_fn_calibrate, p, prep, out_shapes,
-            calibrate=True)[-1])
+        if self._jitted_calibrate is None:
+            n_rows = _round_up(len(self.stages), 8)
+            out_shapes = self._act_out_shapes(self.hp, self.wp) + (
+                jax.ShapeDtypeStruct((n_rows, ACT_C), jnp.float32),)
+            self._jitted_calibrate = jax.jit(lambda p, prep: self._launch(
+                self._kernel_fn_calibrate, p, prep, out_shapes,
+                calibrate=True)[-1])
         mx = None
         for p in packed_frames:
-            m = np.asarray(run(p, prepared))
+            m = np.asarray(self._jitted_calibrate(p, prepared))
             mx = m if mx is None else np.maximum(mx, m)
         if mx is None:
             raise ValueError("need at least one calibration frame")

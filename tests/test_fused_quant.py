@@ -24,10 +24,6 @@ from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
     FusedTransfer,
 )
 
-TINY = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
-                   bottleneck_num_filters=8, num_channels=17, hdr=True)
-
-
 def _build(num_styles: int):
     cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
                       bottleneck_num_filters=8, num_channels=17, hdr=True,

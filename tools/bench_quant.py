@@ -11,7 +11,10 @@ JSON line per engine:
 
 The int8 engine is calibrated on the bench content itself (per-channel
 activation maxima via FusedTransfer.calibrate_act_scales), which is the
-deploy flow: calibrate once per checkpoint on representative frames.
+deploy flow.  Scales are per (checkpoint, style): the maxima are captured
+post-CIN-affine, so they depend on the prepared style table — calibrate
+with the style(s) you deploy (np.maximum the per-style results for a
+multi-style engine).
 
 Usage: timeout 570 python tools/bench_quant.py [--spec rst-960-120-128-17]
 (re-run until warm: the tunnel's server-side compile cache is keyed by HLO
@@ -23,7 +26,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -56,21 +63,22 @@ def slope_ms(stream, packed, prepared):
 
 
 def make_stream(ft):
+    # One executable for BOTH scan lengths (bench.py's rule): the frame
+    # count is a runtime fori_loop bound, so each Mosaic kernel compiles
+    # exactly once cold — two engines here means two cold compiles, not four.
     def frame_loop(packed, prepared, k):
-        def body(carry, _):
+        def body(_i, carry):
             p, s = carry
             out = ft._run_packed(p, prepared)[0]
             v = out[0, 0, 0].astype(jnp.bfloat16)
             # scalar dependency: next frame differs, compute can't collapse
             p = p.at[0, 0, 0].set(v)
-            return (p, s + v.astype(jnp.float32)), ()
+            return p, s + v.astype(jnp.float32)
 
-        (_, s), _ = jax.lax.scan(body, (packed, jnp.float32(0.0)),
-                                 None, length=k)
+        _, s = jax.lax.fori_loop(0, k, body, (packed, jnp.float32(0.0)))
         return s
 
-    jitted = jax.jit(frame_loop, static_argnums=(2,))
-    return jitted
+    return jax.jit(frame_loop)
 
 
 def main():

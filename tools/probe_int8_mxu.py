@@ -100,34 +100,49 @@ def slope_ms(step_fn, x, w, k_lo=K_LO, k_hi=K_HI):
 def make_band_mm(dtype, acc_dtype):
     """Band-realistic probe: the fused kernel's exact access pattern.
 
-    A (rows, wpad, cin) 'temp' buffer sliced into dx slabs, dy row windows,
-    reshaped to (th*wp, cin) patches, 9 tap matmuls accumulated — mirrors
-    fused_transfer.run_conv's MXU inner loop (res-core shape th=10, wp=240).
-    Tests whether Mosaic tolerates int8 sublane slicing (granularity 32 vs
-    bf16's 8) at full speed.
+    Mirrors fused_transfer.run_conv's full band body: a bf16 activation
+    band is (for the int8 arm) quantized in-kernel with the f32 chain,
+    masked-stored into a padded 'temp' scratch at the content column
+    offset (sublane offset 1 — int8 sublane granularity is 32 vs bf16's
+    8, so this store is the pattern Mosaic must tolerate, not just the
+    reads), then sliced into dx slabs / dy row windows, reshaped to
+    (th*wp, cin) patches, 9 tap matmuls accumulated (res-core shape
+    th=10, wp=240).
     """
     TH, WP, CIN, COUT, PH, PW = 10, 240, 128, 128, 3, 3
     rows = TH + PH - 1
     wpad = _round_up_probe(WP + PW - 1, 8)
     interpret = os.environ.get("RST_PLATFORM") == "cpu"
+    quant = dtype == jnp.int8
 
-    def kern(t_ref, k_ref, o_ref):
+    def kern(x_ref, k_ref, inv_ref, o_ref, temp):
+        xt = x_ref[...]
+        if quant:
+            inv = inv_ref[0:1, :].reshape(1, 1, CIN)
+            xt_q = jnp.clip(
+                jnp.rint(xt.astype(jnp.float32) * inv),
+                -127.0, 127.0).astype(jnp.int8)
+        else:
+            xt_q = xt
+        temp[...] = jnp.zeros((rows, wpad, CIN), temp.dtype)
+        temp[pl.ds(0, rows), 1:1 + WP, :] = xt_q
         acc = jnp.zeros((TH * WP, COUT), acc_dtype)
         for dx in range(PW):
-            slab = t_ref[:, dx:dx + WP, :]
+            slab = temp[:, dx:dx + WP, :]
             for dy in range(PH):
                 patch = slab[dy:dy + TH].reshape(TH * WP, CIN)
                 acc += jnp.dot(patch, k_ref[dy, dx],
                                preferred_element_type=acc_dtype)
         o_ref[...] = acc
 
-    def call(t, k):
+    def call(x, k, inv):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((TH * WP, COUT), acc_dtype),
+            scratch_shapes=[pltpu.VMEM((rows, wpad, CIN), dtype)],
             interpret=interpret,
-        )(t, k)
-    return call, (rows, wpad, CIN), (PH, PW, CIN, COUT), 2 * TH * WP * CIN * COUT * PH * PW
+        )(x, k, inv)
+    return call, (rows, WP, CIN), (PH, PW, CIN, COUT), 2 * TH * WP * CIN * COUT * PH * PW
 
 
 def _round_up_probe(x, m):
@@ -183,29 +198,31 @@ def main():
             print(f"{name:12s}: FAILED {exc!r}", flush=True)
 
     # --- band-realistic probes (the fused kernel's exact slicing pattern) ---
-    for name, dtype, acc_dtype, mk in (
-        ("band_bf16", jnp.bfloat16, jnp.float32,
-         lambda v: v.astype(jnp.bfloat16)),
-        ("band_int8", jnp.int8, jnp.int32,
-         lambda v: (v % 3 - 1).astype(jnp.int8)),
+    for name, dtype, acc_dtype in (
+        ("band_bf16", jnp.bfloat16, jnp.float32),
+        ("band_int8", jnp.int8, jnp.int32),
     ):
-        mm, t_shape, k_shape, flops1 = make_band_mm(dtype, acc_dtype)
+        mm, x_shape, k_shape, flops1 = make_band_mm(dtype, acc_dtype)
+        # the activation band is bf16 in BOTH arms (the int8 arm quantizes
+        # in-kernel, exactly like quant='int8'); only the kernel weights
+        # and the temp/matmul dtype differ
+        x = jnp.asarray(rng.standard_normal(x_shape), jnp.bfloat16)
         if dtype == jnp.int8:
-            t = jnp.asarray(rng.integers(-127, 127, t_shape), dtype)
             k_ = jnp.asarray(rng.integers(-127, 127, k_shape), dtype)
         else:
-            t = jnp.asarray(rng.standard_normal(t_shape), dtype)
             k_ = jnp.asarray(rng.standard_normal(k_shape), dtype)
+        inv = jnp.asarray(
+            np.full((1, x_shape[-1]), 127.0 / 4.0, np.float32))
 
-        def band_step(t, k_, mm=mm, cast=mk):
-            o = mm(t, k_)
+        def band_step(x, k_, mm=mm, inv=inv):
+            o = mm(x, k_, inv)
             for _ in range(NREP - 1):
-                t = t.at[0, 0, 0].set(cast(o[0, 0]))
-                o = mm(t, k_)
+                x = x.at[0, 0, 0].set(o[0, 0].astype(jnp.bfloat16))
+                o = mm(x, k_, inv)
             return o
 
         try:
-            ms = slope_ms(band_step, t, k_)
+            ms = slope_ms(band_step, x, k_)
             tflops = flops1 * NREP / (ms * 1e-3) / 1e12
             results[name] = (ms, tflops)
             print(f"{name:12s}: {ms:7.3f} ms/step  {tflops:7.1f} TOP/s",
