@@ -55,6 +55,20 @@ def parse_args():
         "--packed", action="store_true", help="alias for --path packed",
     )
     p.add_argument(
+        "--quant", choices=("none", "int8"), default="none",
+        help="deploy quantization of the fused kernel: 'int8' calibrates "
+             "per-channel activation scales on the first frames (see "
+             "--calibration_frames) with the CURRENT styles, then streams "
+             "through the int8 engine (int8 MXU matmuls, f32 dequant "
+             "epilogue).  Requires the fused path; scales are style-"
+             "specific, so re-run per style selection",
+    )
+    p.add_argument(
+        "--calibration_frames", type=int, default=4, metavar="N",
+        help="frames used to calibrate --quant int8 activation scales "
+             "(they are still stylized and written to the output)",
+    )
+    p.add_argument(
         "--data_parallel", type=int, default=1, metavar="N",
         help="shard the frame stream over an N-chip data mesh (one frame per "
              "chip per step via shard_map; the fused kernel is the per-chip "
@@ -111,6 +125,22 @@ class VideoSink:
             log.info("wrote %s (%d frames)", self.output, self.frame_index)
         else:
             log.info("wrote %d frames to %s", self.frame_index, self.frames_dir)
+
+
+def _take_calibration_frames(frames, n):
+    """Materialize the first ``n`` frames for int8 calibration and return
+    them plus a stream that replays them before the rest (calibration
+    frames are still stylized and written)."""
+    import itertools
+
+    cal = []
+    for frame in frames:
+        cal.append(frame)
+        if len(cal) >= n:
+            break
+    if not cal:
+        raise SystemExit("no frames found to calibrate --quant int8 on")
+    return cal, itertools.chain(iter(cal), frames)
 
 
 def main():
@@ -191,6 +221,34 @@ def main():
             paths = list_image_paths(args.frames_dir)
             frames = (load_image(p, config.content_shape) for p in paths)
 
+        if args.quant == "int8":
+            if streamer.path != "fused":
+                raise SystemExit("--quant int8 requires the fused per-chip "
+                                 "path; use --path fused/auto on a "
+                                 "fused-family config")
+            from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+                FusedTransfer,
+            )
+
+            cal, frames = _take_calibration_frames(
+                frames, args.calibration_frames)
+            interp = jax.devices()[0].platform == "cpu"
+            # calibrate single-chip on the bf16 engine (scales are mesh-
+            # independent: the per-chip program is the same kernel)
+            cal_engine = FusedTransfer(
+                jax.device_get(variables), plan,
+                num_styles=config.num_styles, interpret=interp)
+            cal_prep = cal_engine.prepare_style(style_params, weights)
+            scales = cal_engine.calibrate_act_scales(
+                [jnp.asarray(cal_engine.pack_frame_np(f[None]))
+                 for f in cal], cal_prep)
+            streamer = FusedStreamStylizer(
+                variables, plan, mesh, num_styles=config.num_styles,
+                path="fused", interpret=interp, dtype=cli.compute_dtype(args),
+                quant="int8", act_scales=scales)
+            prepared = streamer.prepare_style(style_params, weights)
+            log.info("int8 engine calibrated on %d frames", len(cal))
+
         def grouped_frames():
             group, n_real = [], 0
             for i, frame in enumerate(frames):
@@ -254,7 +312,8 @@ def main():
         )
 
         fused = FusedTransfer(jax.device_get(variables), plan,
-                              num_styles=config.num_styles)
+                              num_styles=config.num_styles,
+                              interpret=jax.devices()[0].platform == "cpu")
         # Style table + weight mips are loop-invariant: build them once and
         # skip the per-frame rebuild (reference :77-80 precomputes the same).
         prepared = fused.prepare_style(style_params, weights)
@@ -287,6 +346,24 @@ def main():
     else:
         paths = list_image_paths(args.frames_dir)
         frames = (load_image(p, config.content_shape) for p in paths)
+
+    if args.quant == "int8":
+        if path != "fused":
+            raise SystemExit(
+                f"--quant int8 requires the fused path (got '{path}'); use "
+                "--path fused/auto on a fused-family config")
+        cal, frames = _take_calibration_frames(
+            frames, args.calibration_frames)
+        packed_cal = [jnp.asarray(fused.pack_frame_np(f[None])) for f in cal]
+        scales = fused.calibrate_act_scales(packed_cal, prepared)
+        fused = FusedTransfer(jax.device_get(variables), plan,
+                              num_styles=config.num_styles,
+                              interpret=fused.interpret,
+                              quant="int8", act_scales=scales)
+        prepared = fused.prepare_style(style_params, weights)
+        preprocess = fused.pack_frame_np
+        stylize = lambda v, c, p: fused.stylize_prepacked(c, prepared)  # noqa: E731
+        log.info("int8 engine calibrated on %d frames", len(cal))
 
     def batched_frames():
         for i, frame in enumerate(frames):

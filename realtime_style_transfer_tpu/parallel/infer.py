@@ -89,7 +89,11 @@ class FusedStreamStylizer:
 
     def __init__(self, variables, plan: TransferPlan, mesh: Mesh, *,
                  num_styles: int = 1, path: str = "auto",
-                 interpret: bool = False, dtype=jnp.bfloat16):
+                 interpret: bool = False, dtype=jnp.bfloat16,
+                 quant=None, act_scales=None):
+        if quant is not None and path != "fused":
+            raise ValueError("quant engines exist only on the fused path; "
+                             "pass path='fused'")
         if mesh.shape.get("spatial", 1) != 1:
             raise ValueError(
                 "FusedStreamStylizer shards whole frames over the data axis; "
@@ -112,7 +116,7 @@ class FusedStreamStylizer:
             try:
                 self._fused = FusedTransfer(
                     jax.device_get(variables), plan, num_styles=num_styles,
-                    interpret=interpret)
+                    interpret=interpret, quant=quant, act_scales=act_scales)
             except ValueError:
                 if path == "fused":
                     raise

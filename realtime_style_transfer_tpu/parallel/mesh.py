@@ -39,6 +39,11 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible (for CPU dry runs "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N)")
         devices = devices[:n_devices]
     n = len(devices)
     if n % spatial != 0:

@@ -187,6 +187,51 @@ def test_fused_stream_stylizer_matches_single_chip():
 
 
 @pytest.mark.slow
+def test_fused_stream_stylizer_int8_quant_matches_single_chip():
+    """int8 quant engine under the data mesh == the single-chip quant engine
+    (the per-chip program is the same kernel, so single-chip-calibrated
+    scales transfer — the --quant int8 --data_parallel CLI contract)."""
+    from realtime_style_transfer_tpu.models.transfer import StyleTransferNet
+    from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+        FusedTransfer,
+    )
+    from realtime_style_transfer_tpu.parallel.infer import FusedStreamStylizer
+
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    rng = np.random.default_rng(17)
+    frames = jnp.asarray(rng.random((2,) + cfg.content_shape), jnp.float32)
+    sp = jnp.asarray(
+        rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8, jnp.float32)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(7), frames[:1], sp, train=False)
+
+    bf16 = FusedTransfer(variables, plan, interpret=True)
+    prepared1 = bf16.prepare_style(sp)
+    scales = bf16.calibrate_act_scales(
+        [jnp.asarray(bf16.pack_frame_np(np.asarray(frames[:1])))], prepared1)
+
+    with pytest.raises(ValueError, match="fused path"):
+        FusedStreamStylizer(variables, plan, make_mesh(2, spatial=1),
+                            path="packed", quant="int8", act_scales=scales)
+
+    mesh = make_mesh(2, spatial=1)
+    streamer = FusedStreamStylizer(variables, plan, mesh, path="fused",
+                                   interpret=True, quant="int8",
+                                   act_scales=scales)
+    prepared = streamer.prepare_style(sp)
+    out = streamer.stylize_batch(frames, prepared)
+
+    single = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                           act_scales=scales)
+    for i in range(2):
+        want = np.asarray(single(frames[i:i + 1], sp))
+        np.testing.assert_array_equal(np.asarray(out[i:i + 1]), want)
+
+
+@pytest.mark.slow
 def test_fused_stream_stylizer_packed_fallback():
     """Plans the fused kernel rejects run the XLA packed path per chip."""
     from realtime_style_transfer_tpu.models.transfer import StyleTransferNet

@@ -133,6 +133,78 @@ def test_predict_video_dual_style(frames_and_run, tmp_path):
     assert np.asarray(PIL.Image.open(frames[0])).shape == (60, 120, 3)
 
 
+FUSED_SPEC = "rst-128-16-8-3"  # fused-family: wp=32 (%8==0), 2c/2e, <=128f
+
+
+@pytest.fixture(scope="module")
+def fused_family_run(tmp_path_factory):
+    """Tiny trained run on a fused-envelope spec (SPEC's wp=30 is outside)."""
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("fused_video")
+    content = root / "content"
+    style = root / "style"
+    for sub in ("training", "validation"):
+        (content / sub).mkdir(parents=True)
+        (style / sub).mkdir(parents=True)
+        for i in range(2):
+            for d in (content / sub, style / sub):
+                arr = (rng.random((70, 140, 3)) * 255).astype(np.uint8)
+                PIL.Image.fromarray(arr).save(d / f"{i}.png")
+    run = root / "run"
+    run_cli(
+        "train_network.py", "--network_spec", FUSED_SPEC, "--sdr",
+        "--loss", "dummy", "--no_depth_loss", "--epochs", "1",
+        "--batch_size", "2", "--checkpoint_cadence", "1", "--log_dir", run,
+        "--content_dir", content, "--style_dir", style, "--dtype", "float32",
+    )
+    return root, run
+
+
+@pytest.mark.cli
+def test_predict_video_int8_quant(fused_family_run, tmp_path):
+    """--quant int8: calibrate-on-first-frames deploy flow through the CLI.
+
+    Runs the same two frames through the bf16 fused path and the int8 one
+    (both interpret-mode on CPU); the quantized stream must stay within a
+    few u8 levels of bf16 (interpret fidelity of quant='int8' is ~0.02 in
+    [0,1] units — ROADMAP r3 finding 10)."""
+    root, run = fused_family_run
+    style = root / "style" / "validation" / "0.png"
+    common = [
+        "predict_video_using_checkpoint.py",
+        "--network_spec", FUSED_SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", style,
+        "--frames_dir", root / "content" / "validation",
+        "--max_frames", "2", "--path", "fused",
+    ]
+    run_cli(*common, "-o", tmp_path / "bf16.mp4")
+    run_cli(*common, "-o", tmp_path / "int8.mp4",
+            "--quant", "int8", "--calibration_frames", "1")
+    bf16 = sorted((tmp_path / "bf16").glob("frame_*.png"))
+    int8 = sorted((tmp_path / "int8").glob("frame_*.png"))
+    assert len(bf16) == 2 and len(int8) == 2
+    for a, b in zip(bf16, int8):
+        fa = np.asarray(PIL.Image.open(a)).astype(np.int16)
+        fb = np.asarray(PIL.Image.open(b)).astype(np.int16)
+        assert fa.shape == (64, 128, 3)
+        assert np.abs(fa - fb).max() <= 12  # quantization, not divergence
+
+
+@pytest.mark.cli
+def test_predict_video_quant_requires_fused(frames_and_run, tmp_path):
+    """SPEC's wp=30 is outside the fused envelope: --quant int8 must refuse
+    (auto falls back to packed on CPU), not silently run unquantized."""
+    root, run = frames_and_run
+    with pytest.raises(AssertionError, match="requires the fused path"):
+        run_cli(
+            "predict_video_using_checkpoint.py",
+            "--network_spec", SPEC, "--sdr", "--dtype", "float32",
+            "-C", run, "-s", root / "style" / "validation" / "0.png",
+            "--frames_dir", root / "content" / "validation",
+            "-o", tmp_path / "v.mp4", "--max_frames", "1", "--quant", "int8",
+        )
+
+
 @pytest.mark.cli
 def test_predict_video_data_parallel(frames_and_run, tmp_path):
     """--data_parallel 2: frames sharded over a 2-chip data mesh via
