@@ -26,6 +26,13 @@ from realtime_style_transfer_tpu.tracing import logsetup
 log = logging.getLogger("predict_video")
 
 
+def _positive_int(s):
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError("must be >= 1")
+    return v
+
+
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     cli.add_config_args(p)
@@ -64,7 +71,7 @@ def parse_args():
              "specific, so re-run per style selection",
     )
     p.add_argument(
-        "--calibration_frames", type=int, default=4, metavar="N",
+        "--calibration_frames", type=_positive_int, default=4, metavar="N",
         help="frames used to calibrate --quant int8 activation scales "
              "(they are still stylized and written to the output)",
     )
@@ -143,6 +150,19 @@ def _take_calibration_frames(frames, n):
     return cal, itertools.chain(iter(cal), frames)
 
 
+def _calibrate_scales(engine, frames, n, style_params, weights,
+                      prepared=None):
+    """Calibrate int8 activation scales on the bf16 ``engine`` with the
+    stream's first ``n`` frames.  Returns (scales, replayed_stream, n_used)."""
+    import jax.numpy as jnp
+
+    cal, frames = _take_calibration_frames(frames, n)
+    packed = [jnp.asarray(engine.pack_frame_np(f[None])) for f in cal]
+    if prepared is None:
+        prepared = engine.prepare_style(style_params, weights)
+    return engine.calibrate_act_scales(packed, prepared), frames, len(cal)
+
+
 def main():
     args = parse_args()
     logsetup.setup()
@@ -210,7 +230,6 @@ def main():
             dtype=cli.compute_dtype(args))
         log.info("data-parallel mesh: %s chips, per-chip path: %s",
                  dp, streamer.path)
-        prepared = streamer.prepare_style(style_params, weights)
         batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
         if config.hdr and config.total_channels > 3:
@@ -223,31 +242,22 @@ def main():
 
         if args.quant == "int8":
             if streamer.path != "fused":
-                raise SystemExit("--quant int8 requires the fused per-chip "
-                                 "path; use --path fused/auto on a "
-                                 "fused-family config")
-            from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
-                FusedTransfer,
-            )
-
-            cal, frames = _take_calibration_frames(
-                frames, args.calibration_frames)
-            interp = jax.devices()[0].platform == "cpu"
-            # calibrate single-chip on the bf16 engine (scales are mesh-
-            # independent: the per-chip program is the same kernel)
-            cal_engine = FusedTransfer(
-                jax.device_get(variables), plan,
-                num_styles=config.num_styles, interpret=interp)
-            cal_prep = cal_engine.prepare_style(style_params, weights)
-            scales = cal_engine.calibrate_act_scales(
-                [jnp.asarray(cal_engine.pack_frame_np(f[None]))
-                 for f in cal], cal_prep)
+                raise SystemExit(
+                    "--quant int8 requires the fused path; this config/mesh "
+                    "fell back to 'packed' (pass --path fused on a "
+                    "fused-family config)")
+            # calibrate single-chip on the streamer's own bf16 per-chip
+            # engine (scales are mesh-independent: same kernel per chip)
+            scales, frames, n_cal = _calibrate_scales(
+                streamer.fused_engine, frames, args.calibration_frames,
+                style_params, weights)
             streamer = FusedStreamStylizer(
                 variables, plan, mesh, num_styles=config.num_styles,
-                path="fused", interpret=interp, dtype=cli.compute_dtype(args),
+                path="fused", interpret=streamer.fused_engine.interpret,
+                dtype=cli.compute_dtype(args),
                 quant="int8", act_scales=scales)
-            prepared = streamer.prepare_style(style_params, weights)
-            log.info("int8 engine calibrated on %d frames", len(cal))
+            log.info("int8 engine calibrated on %d frames", n_cal)
+        prepared = streamer.prepare_style(style_params, weights)
 
         def grouped_frames():
             group, n_real = [], 0
@@ -350,20 +360,20 @@ def main():
     if args.quant == "int8":
         if path != "fused":
             raise SystemExit(
-                f"--quant int8 requires the fused path (got '{path}'); use "
-                "--path fused/auto on a fused-family config")
-        cal, frames = _take_calibration_frames(
-            frames, args.calibration_frames)
-        packed_cal = [jnp.asarray(fused.pack_frame_np(f[None])) for f in cal]
-        scales = fused.calibrate_act_scales(packed_cal, prepared)
+                f"--quant int8 requires the fused path (got '{path}'); pass "
+                "--path fused on a fused-family config")
+        scales, frames, n_cal = _calibrate_scales(
+            fused, frames, args.calibration_frames, style_params, weights,
+            prepared=prepared)
         fused = FusedTransfer(jax.device_get(variables), plan,
                               num_styles=config.num_styles,
                               interpret=fused.interpret,
                               quant="int8", act_scales=scales)
         prepared = fused.prepare_style(style_params, weights)
+        # the stylize lambda above late-binds fused/prepared; only the
+        # early-bound pack method needs rebinding
         preprocess = fused.pack_frame_np
-        stylize = lambda v, c, p: fused.stylize_prepacked(c, prepared)  # noqa: E731
-        log.info("int8 engine calibrated on %d frames", len(cal))
+        log.info("int8 engine calibrated on %d frames", n_cal)
 
     def batched_frames():
         for i, frame in enumerate(frames):

@@ -212,3 +212,9 @@ class FusedStreamStylizer:
     @property
     def batch_per_step(self) -> int:
         return self.n_data
+
+    @property
+    def fused_engine(self):
+        """The per-chip FusedTransfer (None on the packed fallback) — e.g.
+        for single-chip int8 calibration, whose scales transfer to the mesh."""
+        return self._fused

@@ -191,6 +191,33 @@ def test_predict_video_int8_quant(fused_family_run, tmp_path):
 
 
 @pytest.mark.cli
+def test_predict_video_int8_quant_data_parallel(fused_family_run, tmp_path):
+    """--quant int8 --data_parallel 2: calibrate single-chip, rebuild the
+    quant streamer, replay calibration frames through the grouped stream.
+    Same scales (1 calibration frame) as the single-chip int8 run, so the
+    sharded output must match it to u8 rounding."""
+    root, run = fused_family_run
+    style = root / "style" / "validation" / "0.png"
+    common = [
+        "predict_video_using_checkpoint.py",
+        "--network_spec", FUSED_SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", style,
+        "--frames_dir", root / "content" / "validation",
+        "--max_frames", "2", "--path", "fused",
+        "--quant", "int8", "--calibration_frames", "1",
+    ]
+    run_cli(*common, "-o", tmp_path / "single.mp4")
+    run_cli(*common, "-o", tmp_path / "dp.mp4", "--data_parallel", "2")
+    single = sorted((tmp_path / "single").glob("frame_*.png"))
+    dp = sorted((tmp_path / "dp").glob("frame_*.png"))
+    assert len(single) == 2 and len(dp) == 2
+    for a, b in zip(single, dp):
+        fa = np.asarray(PIL.Image.open(a)).astype(np.int16)
+        fb = np.asarray(PIL.Image.open(b)).astype(np.int16)
+        assert np.abs(fa - fb).max() <= 1  # u8 rounding only
+
+
+@pytest.mark.cli
 def test_predict_video_quant_requires_fused(frames_and_run, tmp_path):
     """SPEC's wp=30 is outside the fused envelope: --quant int8 must refuse
     (auto falls back to packed on CPU), not silently run unquantized."""
