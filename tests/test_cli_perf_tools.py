@@ -51,6 +51,20 @@ def test_probe_int8_mxu_smoke():
         assert f"{arm:12s}: FAILED" not in out, out
 
 
+@pytest.mark.parametrize("arm", [["--tower", "batched"],
+                                 ["--tower", "scan", "--remat"]])
+def test_bench_train_step_smoke(arm):
+    """The loss-tower measurement arms complete and report (the split arm is
+    the production default exercised by the trainer tests; these are the
+    re-measurement arms — a crash here would waste real-TPU tunnel time)."""
+    out = run_tool(
+        "tools/bench_train_step.py", "--spec", "rst-128-16-8-3",
+        "--batch", "1", "--k", "1", "2", "--trials", "1", *arm,
+    ).stdout
+    rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][0])
+    assert rec["metric"] == "train_step_ms" and rec["value"] > 0, rec
+
+
 def test_bench_quant_smoke():
     """bf16 + int8 engines calibrate, bench, and report fidelity."""
     out = run_tool(
