@@ -76,6 +76,17 @@ def parse_args():
              "(they are still stylized and written to the output)",
     )
     p.add_argument(
+        "--scales", type=Path, default=None,
+        help="load --quant int8 activation scales from this .npy instead of "
+             "calibrating (must come from --scales_out with the SAME "
+             "checkpoint and style selection)",
+    )
+    p.add_argument(
+        "--scales_out", type=Path, default=None,
+        help="save the calibrated --quant int8 scales to this .npy for "
+             "reuse via --scales (skips startup calibration on restarts)",
+    )
+    p.add_argument(
         "--data_parallel", type=int, default=1, metavar="N",
         help="shard the frame stream over an N-chip data mesh (one frame per "
              "chip per step via shard_map; the fused kernel is the per-chip "
@@ -163,6 +174,23 @@ def _calibrate_scales(engine, frames, n, style_params, weights,
     return engine.calibrate_act_scales(packed, prepared), frames, len(cal)
 
 
+def _get_scales(args, engine, frames, style_params, weights, prepared=None):
+    """int8 scales: load from --scales, else calibrate (and maybe save)."""
+    if args.scales is not None:
+        scales = np.load(args.scales)
+        log.info("loaded int8 scales from %s", args.scales)
+        return scales, frames
+    scales, frames, n_cal = _calibrate_scales(
+        engine, frames, args.calibration_frames, style_params, weights,
+        prepared)
+    log.info("int8 engine calibrated on %d frames", n_cal)
+    if args.scales_out is not None:
+        args.scales_out.parent.mkdir(parents=True, exist_ok=True)
+        np.save(args.scales_out, np.asarray(scales))
+        log.info("saved int8 scales to %s", args.scales_out)
+    return scales, frames
+
+
 def main():
     args = parse_args()
     logsetup.setup()
@@ -248,15 +276,13 @@ def main():
                     "fused-family config)")
             # calibrate single-chip on the streamer's own bf16 per-chip
             # engine (scales are mesh-independent: same kernel per chip)
-            scales, frames, n_cal = _calibrate_scales(
-                streamer.fused_engine, frames, args.calibration_frames,
-                style_params, weights)
+            scales, frames = _get_scales(
+                args, streamer.fused_engine, frames, style_params, weights)
             streamer = FusedStreamStylizer(
                 variables, plan, mesh, num_styles=config.num_styles,
                 path="fused", interpret=streamer.fused_engine.interpret,
                 dtype=cli.compute_dtype(args),
                 quant="int8", act_scales=scales)
-            log.info("int8 engine calibrated on %d frames", n_cal)
         prepared = streamer.prepare_style(style_params, weights)
 
         def grouped_frames():
@@ -362,9 +388,8 @@ def main():
             raise SystemExit(
                 f"--quant int8 requires the fused path (got '{path}'); pass "
                 "--path fused on a fused-family config")
-        scales, frames, n_cal = _calibrate_scales(
-            fused, frames, args.calibration_frames, style_params, weights,
-            prepared=prepared)
+        scales, frames = _get_scales(
+            args, fused, frames, style_params, weights, prepared=prepared)
         fused = FusedTransfer(jax.device_get(variables), plan,
                               num_styles=config.num_styles,
                               interpret=fused.interpret,
@@ -373,7 +398,6 @@ def main():
         # the stylize lambda above late-binds fused/prepared; only the
         # early-bound pack method needs rebinding
         preprocess = fused.pack_frame_np
-        log.info("int8 engine calibrated on %d frames", n_cal)
 
     def batched_frames():
         for i, frame in enumerate(frames):

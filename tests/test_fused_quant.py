@@ -104,6 +104,34 @@ def test_calibration_scales_cover_active_channels(single):
     np.testing.assert_array_equal(scales, again)
 
 
+def test_maxed_scales_serve_multiple_styles(single):
+    """The documented multi-style recipe (calibrate_act_scales docstring):
+    calibrate per style, ``np.maximum`` the tables, serve BOTH styles from
+    one quant engine — maxima compose conservatively, so fidelity holds even
+    for the style whose activations the other table would have clipped."""
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    rng = np.random.default_rng(33)
+    strong = jnp.asarray(
+        (rng.random((1, 1, plan.num_style_parameters)) * 0.8 + 1.2)
+        .astype(np.float32))  # larger CIN affines than `single`'s style
+    styles = [style_params, strong]
+    packed = ft.pack_frame(content)
+    preps = [ft.prepare_style(s) for s in styles]
+    tables = [ft.calibrate_act_scales([packed], p) for p in preps]
+    assert (tables[1] >= tables[0]).mean() > 0.5  # B really is stronger
+    maxed = np.maximum(tables[0], tables[1])
+    ftq = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                        act_scales=maxed)
+    for s, p in zip(styles, preps):
+        ref = np.asarray(ft.stylize_prepacked(packed, p), np.float32)
+        got = np.asarray(
+            ftq.stylize_prepacked(packed, ftq.prepare_style(s)), np.float32)
+        err = np.abs(got - ref)
+        assert err.max() < 0.08, err.max()
+        assert np.median(err) < 0.02, np.median(err)
+
+
 def test_quant_requires_and_validates_scales(single):
     plan, variables, _, _, _ = single
     with pytest.raises(ValueError, match="act_scales"):

@@ -179,7 +179,8 @@ def test_predict_video_int8_quant(fused_family_run, tmp_path):
     ]
     run_cli(*common, "-o", tmp_path / "bf16.mp4")
     run_cli(*common, "-o", tmp_path / "int8.mp4",
-            "--quant", "int8", "--calibration_frames", "1")
+            "--quant", "int8", "--calibration_frames", "1",
+            "--scales_out", tmp_path / "scales.npy")
     bf16 = sorted((tmp_path / "bf16").glob("frame_*.png"))
     int8 = sorted((tmp_path / "int8").glob("frame_*.png"))
     assert len(bf16) == 2 and len(int8) == 2
@@ -188,6 +189,15 @@ def test_predict_video_int8_quant(fused_family_run, tmp_path):
         fb = np.asarray(PIL.Image.open(b)).astype(np.int16)
         assert fa.shape == (64, 128, 3)
         assert np.abs(fa - fb).max() <= 12  # quantization, not divergence
+
+    # saved-scales restart: --scales skips calibration, output is identical
+    assert (tmp_path / "scales.npy").exists()
+    run_cli(*common, "-o", tmp_path / "reuse.mp4",
+            "--quant", "int8", "--scales", tmp_path / "scales.npy")
+    reuse = sorted((tmp_path / "reuse").glob("frame_*.png"))
+    for a, b in zip(int8, reuse):
+        np.testing.assert_array_equal(
+            np.asarray(PIL.Image.open(a)), np.asarray(PIL.Image.open(b)))
 
 
 @pytest.mark.cli
