@@ -143,6 +143,34 @@ def test_quant_requires_and_validates_scales(single):
         FusedTransfer(variables, plan, interpret=True, quant="fp8")
 
 
+def test_quant_chunk_mode_matches_single_frames(single):
+    """Chunk mode (N frames per launch) on a quant engine is bit-identical
+    to per-frame quant launches (the quant tables ride the same ref
+    plumbing in the chunked kernel)."""
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    prepared = ft.prepare_style(style_params)
+    packed1 = ft.pack_frame(content)
+    scales = ft.calibrate_act_scales([packed1], prepared)
+    ftq = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                        act_scales=scales)
+    prepared_q = ftq.prepare_style(style_params)
+    rng = np.random.default_rng(41)
+    frames = rng.random((2,) + np.asarray(content).shape[1:]).astype(
+        np.float32)
+    packed = np.stack(
+        [ftq.pack_frame_np(frames[i:i + 1]) for i in range(2)])
+    chunk = np.asarray(
+        ftq.stylize_prepacked_chunk(jnp.asarray(packed), prepared_q),
+        np.float32)
+    singles = np.concatenate([
+        np.asarray(
+            ftq.stylize_prepacked(jnp.asarray(packed[i]), prepared_q),
+            np.float32)
+        for i in range(2)])
+    np.testing.assert_array_equal(chunk, singles)
+
+
 def test_calibrate_refuses_on_quant_engine(single):
     plan, variables, content, style_params, _ = single
     ft = FusedTransfer(variables, plan, interpret=True)
