@@ -65,6 +65,19 @@ def test_bench_train_step_smoke(arm):
     assert rec["metric"] == "train_step_ms" and rec["value"] > 0, rec
 
 
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_bisect_fused_smoke(quant):
+    """The per-stage bisect tool runs on interpret with both engine arms
+    (first coverage of the tool; --quant int8 preps TPU-day analysis)."""
+    out = run_tool(
+        "tools/bisect_fused.py", "--spec", "rst-128-16-8-17",
+        "--k", "1", "2", "--trials", "1", "--stages", "0", "1",
+        "--quant", quant,
+    ).stdout
+    rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][0])
+    assert rec["quant"] == quant and len(rec["prefix_ms"]) == 1, rec
+
+
 def test_bench_quant_smoke():
     """bf16 + int8 engines calibrate, bench, and report fidelity."""
     out = run_tool(

@@ -14,11 +14,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
@@ -28,9 +35,16 @@ def main():
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--stages", type=int, nargs=2, default=None,
                    help="stage index range to bisect (default: all)")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="bisect the int8 engine (self-calibrated on the "
+                        "bench content) instead of bf16 — per-stage view "
+                        "of where the 2x MXU peak does/doesn't materialize")
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("RST_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["RST_PLATFORM"])
     import jax.numpy as jnp
 
     from realtime_style_transfer_tpu.config import ShapeConfig
@@ -54,13 +68,23 @@ def main():
     )(variables, style)
     host_vars = jax.device_get(variables)
 
-    full = FusedTransfer(host_vars, plan)
+    interpret = jax.devices()[0].platform == "cpu"
+    full = FusedTransfer(host_vars, plan, interpret=interpret)
     names = [st.name for st in full.stages]
     n_stages = len(names)
     lo, hi = args.stages or (0, n_stages)
+    quant = None if args.quant == "none" else args.quant
+    act_scales = None
+    if quant:
+        # scales are per-stage rows: one full-net calibration serves every
+        # truncated (debug_stages) variant
+        act_scales = full.calibrate_act_scales(
+            [full.pack_frame(content)], full.prepare_style(style_params))
 
     def measure(k_stages):
-        fused = FusedTransfer(host_vars, plan, debug_stages=k_stages)
+        fused = FusedTransfer(host_vars, plan, debug_stages=k_stages,
+                              interpret=interpret,
+                              quant=quant, act_scales=act_scales)
 
         def make_stream(k):
             def frame_stream(content, style_params):
@@ -101,7 +125,8 @@ def main():
         print(f"prefix through {names[k - 1]:>8s} ({k:2d}): {ms:7.3f} ms "
               f"(stage {ms - prev:+.3f})", flush=True)
         prev = ms
-    print(json.dumps({"spec": args.spec, "prefix_ms": prefix,
+    print(json.dumps({"spec": args.spec, "quant": args.quant,
+                      "prefix_ms": prefix,
                       "device": str(jax.devices()[0])}))
 
 
