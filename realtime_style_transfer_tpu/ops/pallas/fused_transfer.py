@@ -1263,13 +1263,25 @@ class FusedTransfer:
         launches — one place for the in/out specs, scratch, and operands."""
         style_tbl, *w_inputs = prepared
         kwargs = {}
+        # The band budgets (_pick_th) are tuned against XLA's default 16 MB
+        # scoped-VMEM limit, but that limit also charges whatever ELSE the
+        # surrounding program stack-allocates in VMEM alongside the kernel —
+        # here the ~0.5 MB of VMEM-blockspec style tables.  Inside a jitted
+        # frame loop they are hoisted loop constants and the kernel fits; in
+        # a standalone jit (video CLI per-frame call, calibration) they land
+        # on the same stack and tripped the limit by ~356 KB (r3, real TPU).
+        # The v5e physically has 128 MB of VMEM — raise the cap by 2 MB so
+        # the tuned schedules keep compiling regardless of the caller's
+        # program shape instead of re-tuning every budget 0.5 MB down.
+        vmem_cap = dict(vmem_limit_bytes=18 * 2 ** 20)
         if grid is not None:
             kwargs["grid"] = grid
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                has_side_effects=True, dimension_semantics=("arbitrary",))
+                has_side_effects=True, dimension_semantics=("arbitrary",),
+                **vmem_cap)
         else:
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                has_side_effects=True)
+                has_side_effects=True, **vmem_cap)
         tables = [self._biases, self._contract, style_tbl,
                   self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"]]
         if self.quant:
