@@ -50,6 +50,7 @@ window math does not close) fall back to the r2 expanded-ring path for wB.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import jax
@@ -70,6 +71,18 @@ LANE = 128
 CIN_EPS = 1e-5
 ACT_C = 512  # channel width of the HBM activation ping-pong buffers
 STATS_C = 256  # max packed channel count of any CIN layer
+
+# Perf-experiment knobs (ROADMAP findings 11/12: the 16 MB scoped-VMEM limit
+# is a compiler default, not hardware — tools/probe_vmem_cap.py compiled and
+# ran 116 MB scratch kernels on the v5e).  Defaults are the shipped tuning;
+# env overrides let bench sweeps re-probe without code edits.  The r3 band-
+# budget sweep (finding 12) measured taller bands monotonically WORSE
+# (642 FPS @14 MB -> 618/603/562/567 @21/28/42/56): fewer bands lose more
+# double-buffer overlap than they save in per-band DMA issue overhead, so
+# the 14/12 MB budgets stay.
+_VMEM_CAP_MB = float(os.environ.get("RST_FUSED_VMEM_CAP_MB", 18))
+_BUDGET_MB = float(os.environ.get("RST_FUSED_BUDGET_MB", 14))
+_BUDGET_DUAL_MB = float(os.environ.get("RST_FUSED_BUDGET_DUAL_MB", 12))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -545,7 +558,7 @@ class FusedTransfer:
                  and not w_resident)
         has_transform = (st.in_affine or st.in_relu
                          or st.skip_in is not None)
-        budget = (12 if self.dual else 14) * 2 ** 20
+        budget = int((_BUDGET_DUAL_MB if self.dual else _BUDGET_MB) * 2 ** 20)
         # int8 mode: temp + kernel shrink to 1 byte/elt, but the f32
         # quantize chain keeps an extra temporary live
         mm_sz = 1 if self.quant else 2
@@ -1273,7 +1286,7 @@ class FusedTransfer:
         # The v5e physically has 128 MB of VMEM — raise the cap by 2 MB so
         # the tuned schedules keep compiling regardless of the caller's
         # program shape instead of re-tuning every budget 0.5 MB down.
-        vmem_cap = dict(vmem_limit_bytes=18 * 2 ** 20)
+        vmem_cap = dict(vmem_limit_bytes=int(_VMEM_CAP_MB * 2 ** 20))
         if grid is not None:
             kwargs["grid"] = grid
             kwargs["compiler_params"] = pltpu.CompilerParams(

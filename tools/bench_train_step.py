@@ -46,6 +46,9 @@ def main() -> None:
                    help="jax.checkpoint the transfer forward under grad")
     p.add_argument("--k", type=int, nargs=2, default=(2, 6))
     p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one warm K-step "
+                        "call into DIR (TensorBoard-viewable)")
     args = p.parse_args()
 
     from realtime_style_transfer_tpu.config import ShapeConfig
@@ -98,6 +101,12 @@ def main() -> None:
     for k in args.k:
         float(jax.device_get(jitted(state, k)))
     print(f"warm-up/compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    if args.trace:
+        from realtime_style_transfer_tpu.tracing.profiler import trace
+        with trace(args.trace):
+            float(jax.device_get(jitted(state, args.k[0])))
+        print(f"trace written to {args.trace}", file=sys.stderr)
 
     def best(k):
         best_t = float("inf")
