@@ -123,7 +123,7 @@ def conv_valid_matmul(x: jnp.ndarray, kernel: jnp.ndarray, *,
         f,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             param_spec, param_spec, param_spec,
