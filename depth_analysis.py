@@ -28,7 +28,8 @@ def parse_args():
     p.add_argument("--screenshot", type=Path, required=True,
                    help="PNG with a sibling _SceneDepth.exr")
     p.add_argument("--depth_weights", type=Path, default=None,
-                   help="optional orbax checkpoint of MidasLite params")
+                   help="optional MidasLite checkpoint (orbax dir or .npz; "
+                        "'bundled' = the committed synthetic-pretrained one)")
     p.add_argument("-o", "--output", type=Path, default=Path("out/depth_analysis"))
     return p.parse_args()
 
@@ -52,16 +53,20 @@ def main():
     )
 
     rgb = load_image(args.screenshot, (DEPTH_RESOLUTION, DEPTH_RESOLUTION, 3))
-    model = MidasLite()
     if args.depth_weights is not None:
-        import orbax.checkpoint as ocp
-
-        variables = ocp.StandardCheckpointer().restore(
-            Path(args.depth_weights).resolve()
+        from realtime_style_transfer_tpu.depth_pretrain import (
+            BUNDLED_DEPTH_CHECKPOINT, depth_base_filters, load_depth_checkpoint,
         )
+
+        ckpt = args.depth_weights
+        if str(ckpt) == "bundled":
+            ckpt = BUNDLED_DEPTH_CHECKPOINT
+        variables = load_depth_checkpoint(ckpt)
+        model = MidasLite(base_filters=depth_base_filters(variables))
     else:
         log.warning("no --depth_weights given: using random-init MidasLite "
                     "(structure check only)")
+        model = MidasLite()
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), rgb[None])
     predicted = np.asarray(
         jax.jit(model.apply)(variables, jnp.asarray(rgb[None]))

@@ -62,6 +62,89 @@ def load_depth_pairs(
         yield rgb.astype(np.float32), depth_to_target(depth)
 
 
+def generate_procedural_scene(
+    seed: int, resolution: int = 384, num_objects: int = 12
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CPU-rasterized random scene with ANALYTIC ground-truth depth.
+
+    Zero-egress substitute for real (FinalImage, SceneDepth) screenshot
+    pairs: random spheres and boxes over a receding ground plane, rasterized
+    with a z-buffer, lambertian-ish shading and distance fog.  The fog and
+    shading make depth *monocularly inferable from the RGB* — the cue a
+    MiDaS-style net (reference ``styleLoss.py:250-255``) actually learns —
+    while the returned depth is exact geometry, not a heuristic.
+
+    Returns ``(rgb [res, res, 3] float32 in [0,1], depth [res, res] float32
+    linear depth)`` — the same contract as a screenshot + SceneDepth pair.
+    """
+    rng = np.random.default_rng(seed)
+    res = resolution
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res  # [0,1)^2
+
+    # Ground plane: depth grows toward the horizon (top of frame), like a
+    # camera pitched down over terrain.
+    horizon = 0.25 + 0.2 * rng.random()
+    depth = (2.0 + 58.0 * np.clip(
+        1.0 - (yy - horizon) / max(1.0 - horizon, 1e-3), 0.0, 1.0)
+    ).astype(np.float32)
+    albedo = np.empty((res, res, 3), np.float32)
+    albedo[:] = rng.random(3) * 0.5 + 0.3
+    # checker variation so the plane has texture
+    checker = (np.floor(xx * 8) + np.floor((yy - horizon) * 8)) % 2
+    albedo *= (0.75 + 0.25 * checker)[..., None]
+    shade = np.full((res, res), 1.0, np.float32)
+
+    light = rng.normal(size=3)
+    light /= np.linalg.norm(light)
+    light[2] = abs(light[2]) + 0.5  # toward the camera
+
+    for _ in range(num_objects):
+        kind = rng.choice(("sphere", "box"))
+        cx, cy = rng.random(2)
+        z = 2.0 + 50.0 * rng.random() ** 1.5          # object distance
+        r = (0.03 + 0.15 * rng.random()) * 12.0 / (z + 6.0)  # size by depth
+        color = rng.random(3) * 0.8 + 0.2
+        if kind == "sphere":
+            d2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / max(r * r, 1e-8)
+            inside = d2 < 1.0
+            # sphere surface: closer at center, analytic normal shading
+            h = np.sqrt(np.clip(1.0 - d2, 0.0, 1.0))
+            obj_depth = z - r * 8.0 * h
+            nx = (xx - cx) / max(r, 1e-8)
+            ny = (yy - cy) / max(r, 1e-8)
+            s = np.clip(nx * light[0] + ny * light[1] + h * light[2], 0.1, 1.0)
+        else:
+            w, hgt = r, r * (0.5 + rng.random())
+            inside = (np.abs(xx - cx) < w) & (np.abs(yy - cy) < hgt)
+            obj_depth = np.full_like(xx, z)
+            s = np.full_like(xx, float(np.clip(light[2], 0.2, 1.0)))
+        win = inside & (obj_depth < depth)
+        depth[win] = obj_depth[win].astype(np.float32)
+        albedo[win] = color
+        shade[win] = s[win]
+
+    rgb = albedo * shade[..., None]
+    # distance fog: the dominant monocular depth cue (and physically what a
+    # deferred renderer's aerial perspective does)
+    fog = np.exp(-depth / 25.0)[..., None]
+    sky = np.array([0.65, 0.72, 0.85], np.float32) * (0.8 + 0.2 * rng.random())
+    rgb = rgb * fog + sky * (1.0 - fog)
+    rgb += rng.normal(0, 0.005, rgb.shape)
+    return (np.clip(rgb, 0.0, 1.0).astype(np.float32),
+            depth.astype(np.float32))
+
+
+def synthetic_depth_pairs(
+    num_scenes: int, resolution: int, *, seed: int = 0
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """``num_scenes`` procedural (rgb, normalized-inverse-depth) pairs."""
+    pairs = []
+    for i in range(num_scenes):
+        rgb, depth = generate_procedural_scene(seed * 100003 + i, resolution)
+        pairs.append((rgb, depth_to_target(depth)))
+    return pairs
+
+
 def correlation(a: np.ndarray, b: np.ndarray) -> float:
     """Pearson correlation between two arrays (the acceptance metric)."""
     a = np.asarray(a, np.float64).ravel()
@@ -77,6 +160,25 @@ def pretrain(
     validation_paths: Sequence[Path],
     *,
     resolution: int = 384,
+    **kwargs,
+):
+    """Train MidasLite on on-disk (FinalImage, SceneDepth) screenshot pairs.
+
+    Returns ``(variables, history)`` — see :func:`pretrain_on_pairs`.
+    """
+    # Materialize once: depth pretraining sets are small relative to EXR decode
+    # cost, and epoch order reshuffles in memory.
+    train_pairs = list(load_depth_pairs(training_paths, resolution))
+    val_pairs = list(load_depth_pairs(validation_paths, resolution))
+    return pretrain_on_pairs(train_pairs, val_pairs, resolution=resolution,
+                             **kwargs)
+
+
+def pretrain_on_pairs(
+    train_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    val_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    *,
+    resolution: int = 384,
     base_filters: int = 32,
     epochs: int = 10,
     batch_size: int = 4,
@@ -84,7 +186,7 @@ def pretrain(
     seed: int = 0,
     log_every: int = 10,
 ):
-    """Train MidasLite on (FinalImage, SceneDepth) pairs.
+    """Train MidasLite on in-memory (rgb, target) pairs.
 
     Returns ``(variables, history)`` where history has per-epoch train loss and
     validation correlation (predicted vs ground-truth inverse depth).
@@ -116,10 +218,8 @@ def pretrain(
 
     predict = jax.jit(lambda params, rgb: model.apply({"params": params}, rgb))
 
-    # Materialize once: depth pretraining sets are small relative to EXR decode
-    # cost, and epoch order reshuffles in memory.
-    train_pairs = list(load_depth_pairs(training_paths, resolution))
-    val_pairs = list(load_depth_pairs(validation_paths, resolution))
+    train_pairs = list(train_pairs)
+    val_pairs = list(val_pairs)
     if not train_pairs:
         raise ValueError("no readable (png, SceneDepth.exr) training pairs")
 
@@ -157,17 +257,52 @@ def pretrain(
     return {"params": jax.device_get(params)}, history
 
 
+# The committed synthetic-pretrained MidasLite weights (see
+# tools/pretrain_depth.py --synthetic): the zero-egress stand-in for the
+# reference's TF-Hub MiDaS v2 binary (``styleLoss.py:251-255``) that makes
+# ``--depth_checkpoint`` usable out of the box.
+BUNDLED_DEPTH_CHECKPOINT = (
+    Path(__file__).parent / "assets" / "midas_lite_synthetic.npz")
+
+
 def save_depth_checkpoint(variables, output: Path) -> None:
+    """Save MidasLite variables: single-file ``.npz`` (committable) when the
+    path ends in ``.npz``, else an Orbax checkpoint directory."""
+    output = Path(output)
+    if output.suffix == ".npz":
+        from flax.traverse_util import flatten_dict
+
+        flat = {"/".join(k): np.asarray(v)
+                for k, v in flatten_dict(variables).items()}
+        output.parent.mkdir(parents=True, exist_ok=True)
+        with open(output, "wb") as f:
+            np.savez(f, **flat)
+        return
     import orbax.checkpoint as ocp
 
     checkpointer = ocp.StandardCheckpointer()
-    checkpointer.save(Path(output).resolve(), variables, force=True)
+    checkpointer.save(output.resolve(), variables, force=True)
     checkpointer.wait_until_finished()
 
 
 def load_depth_checkpoint(path: Path):
     """Restore MidasLite variables saved by :func:`save_depth_checkpoint`."""
-    import orbax.checkpoint as ocp
+    path = Path(path)
+    if path.suffix == ".npz":
+        from flax.traverse_util import unflatten_dict
 
-    restored = ocp.StandardCheckpointer().restore(Path(path).resolve())
+        with np.load(path) as data:
+            restored = unflatten_dict(
+                {tuple(k.split("/")): data[k] for k in data.files})
+    else:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(path.resolve())
     return restored if "params" in restored else {"params": restored}
+
+
+def depth_base_filters(variables) -> int:
+    """Infer MidasLite's ``base_filters`` from restored variables (the first
+    encoder conv's output channel count)."""
+    return int(np.asarray(
+        variables["params"]["enc0_down"]["kernel"]).shape[-1])

@@ -92,10 +92,15 @@ class StyleTransferTrainingModel:
 
         depth_loss_fn = None
         if self.with_depth_loss:
-            self.depth_module = MidasLite(dtype=dtype)
             if depth_variables is not None:
-                # Pretrained MidasLite (tools/pretrain_depth.py) — the supported
-                # path; random init is only meaningful for shape/plumbing tests.
+                # Pretrained MidasLite (tools/pretrain_depth.py, incl. the
+                # bundled synthetic-pretrained weights) — the supported path;
+                # random init is only meaningful for shape/plumbing tests.
+                # The module width follows the checkpoint.
+                from ..depth_pretrain import depth_base_filters
+
+                self.depth_module = MidasLite(
+                    dtype=dtype, base_filters=depth_base_filters(depth_variables))
                 self.depth_variables = depth_variables
             else:
                 import logging
@@ -105,6 +110,7 @@ class StyleTransferTrainingModel:
                     "term is a random signal (pass depth_variables / "
                     "--depth_checkpoint; see tools/pretrain_depth.py)"
                 )
+                self.depth_module = MidasLite(dtype=dtype)
                 dummy_depth = jnp.zeros((1, 384, 384, 3), jnp.float32)
                 self.depth_variables = jax.jit(self.depth_module.init)(
                     depth_rng, dummy_depth

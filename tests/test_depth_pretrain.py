@@ -14,12 +14,16 @@ import PIL.Image
 import pytest
 
 from realtime_style_transfer_tpu.depth_pretrain import (
+    BUNDLED_DEPTH_CHECKPOINT,
     correlation,
+    depth_base_filters,
     depth_to_target,
+    generate_procedural_scene,
     load_depth_checkpoint,
     load_depth_pairs,
     pretrain,
     save_depth_checkpoint,
+    synthetic_depth_pairs,
 )
 
 RES = 48  # MidasLite needs multiples of 16
@@ -76,6 +80,88 @@ def test_load_depth_pairs_skips_missing_exr(tmp_path, depth_fixture, caplog):
     rgb, target = pairs[0]
     assert rgb.shape == (RES, RES, 3) and target.shape == (RES, RES)
     assert 0.0 <= target.min() and target.max() <= 1.0
+
+
+def test_bundled_depth_checkpoint_loads():
+    """The committed synthetic-pretrained MidasLite weights (SURVEY row 9:
+    the zero-egress stand-in for the reference's TF-Hub MiDaS binary,
+    ``styleLoss.py:251-255``) ship with the package and load as variables."""
+    assert BUNDLED_DEPTH_CHECKPOINT.exists(), BUNDLED_DEPTH_CHECKPOINT
+    variables = load_depth_checkpoint(BUNDLED_DEPTH_CHECKPOINT)
+    assert "params" in variables
+    assert depth_base_filters(variables) == 16
+    # npz round-trip preserves every leaf exactly
+    import jax
+
+    n_leaves = len(jax.tree_util.tree_leaves(variables))
+    assert n_leaves > 20  # full encoder/decoder stack, not a stub
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    variables = {"params": {"enc0_down": {"kernel": np.ones((3, 3, 3, 4),
+                                                            np.float32),
+                                          "bias": np.zeros(4, np.float32)}}}
+    path = tmp_path / "d.npz"
+    save_depth_checkpoint(variables, path)
+    restored = load_depth_checkpoint(path)
+    assert depth_base_filters(restored) == 4
+    np.testing.assert_array_equal(
+        restored["params"]["enc0_down"]["kernel"],
+        variables["params"]["enc0_down"]["kernel"])
+
+
+def test_procedural_scene_contract():
+    rgb, depth = generate_procedural_scene(5, 96)
+    assert rgb.shape == (96, 96, 3) and depth.shape == (96, 96)
+    assert rgb.dtype == np.float32 and depth.dtype == np.float32
+    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+    assert depth.min() > 0.0
+    # deterministic per seed, distinct across seeds
+    rgb2, depth2 = generate_procedural_scene(5, 96)
+    np.testing.assert_array_equal(rgb, rgb2)
+    rgb3, _ = generate_procedural_scene(6, 96)
+    assert np.abs(rgb - rgb3).max() > 0.1
+    # the fog cue: distance fog blends toward the bright sky color, so
+    # brightness rises with DEPTH (i.e. with 1 - inverse-depth target) —
+    # the monocular signal the net learns
+    from realtime_style_transfer_tpu.depth_pretrain import correlation as corr
+
+    # per-scene strength varies with albedo/layout draw, so average a dozen
+    pairs = synthetic_depth_pairs(12, 96, seed=2)
+    assert np.mean([corr(r[..., 2], 1.0 - t) for r, t in pairs]) > 0.3
+
+
+@pytest.mark.slow
+def test_depth_loss_ranks_depth_preservation_with_bundled_weights():
+    """VERDICT r3 task 5 acceptance: through the REAL loss path
+    (``make_depth_loss_fn``, reference ``styleLoss.py:277-285`` formula),
+    the bundled weights must score a depth-preserving prediction (style-like
+    global color shift) strictly better than a depth-destroying one
+    (vertical flip) — i.e. the depth term is a meaningful training signal,
+    not noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_style_transfer_tpu.models.depth import (
+        MidasLite, make_depth_loss_fn,
+    )
+
+    variables = load_depth_checkpoint(BUNDLED_DEPTH_CHECKPOINT)
+    model = MidasLite(base_filters=depth_base_filters(variables))
+    apply = jax.jit(lambda imgs: model.apply(variables, imgs))
+
+    rgb, depth = generate_procedural_scene(999, 384)
+    # quality gate at the DEPLOY resolution (trained at 192, used at 384)
+    pred = np.asarray(apply(jnp.asarray(rgb[None])))[0]
+    assert correlation(pred, depth_to_target(depth)) > 0.6
+
+    loss_fn = make_depth_loss_fn(apply)
+    gt = jnp.asarray(rgb[None])
+    good = jnp.asarray(np.clip(rgb * 0.85 + 0.08, 0.0, 1.0)[None])
+    bad = jnp.asarray(rgb[::-1].copy()[None])
+    loss_good = float(np.asarray(loss_fn(gt, good)).mean())
+    loss_bad = float(np.asarray(loss_fn(gt, bad)).mean())
+    assert loss_good * 5 < loss_bad, (loss_good, loss_bad)
 
 
 @pytest.mark.slow

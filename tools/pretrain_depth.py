@@ -13,6 +13,19 @@ ground truth instead::
 then enable the depth term with ``train_network.py --depth_loss
 --depth_checkpoint out/depth_ckpt``.  Validate visually with
 ``depth_analysis.py --depth_weights out/depth_ckpt``.
+
+``--synthetic N`` needs no data at all: it pretrains on N procedurally
+rasterized scenes with ANALYTIC ground-truth depth (random spheres/boxes
+over a receding ground plane with distance fog — see
+``depth_pretrain.generate_procedural_scene``).  The committed
+``realtime_style_transfer_tpu/assets/midas_lite_synthetic.npz`` was produced
+this way::
+
+    python tools/pretrain_depth.py --synthetic 240 --resolution 192 \
+        --base_filters 16 --epochs 12 --batch_size 8 \
+        --output realtime_style_transfer_tpu/assets/midas_lite_synthetic.npz
+
+A ``.npz`` --output saves a single committable file instead of an Orbax dir.
 """
 
 from __future__ import annotations
@@ -25,16 +38,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from realtime_style_transfer_tpu.depth_pretrain import (  # noqa: E402
     pretrain,
+    pretrain_on_pairs,
     save_depth_checkpoint,
+    synthetic_depth_pairs,
 )
 from realtime_style_transfer_tpu.tracing import logsetup  # noqa: E402
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--content_dir", type=Path, required=True,
+    p.add_argument("--content_dir", type=Path, default=None,
                    help="dir with training/ and validation/ screenshot subdirs "
                         "(X.png + X_SceneDepth.exr siblings)")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="pretrain on N procedural scenes with analytic depth "
+                        "instead of --content_dir (90/10 train/val split)")
     p.add_argument("--output", type=Path, required=True,
                    help="orbax checkpoint dir for the trained MidasLite")
     p.add_argument("--resolution", type=int, default=384)
@@ -53,16 +71,25 @@ def main():
 
         jax.config.update("jax_platforms", os.environ["RST_PLATFORM"])
 
-    from realtime_style_transfer_tpu.data.imaging import list_image_paths
-
-    train_paths = list_image_paths(args.content_dir / "training")
-    val_paths = list_image_paths(args.content_dir / "validation")
-    variables, history = pretrain(
-        train_paths, val_paths,
+    common = dict(
         resolution=args.resolution, base_filters=args.base_filters,
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, seed=args.seed,
     )
+    if (args.synthetic is None) == (args.content_dir is None):
+        raise SystemExit("pass exactly one of --content_dir / --synthetic")
+    if args.synthetic is not None:
+        pairs = synthetic_depth_pairs(
+            args.synthetic, args.resolution, seed=args.seed)
+        n_val = max(1, len(pairs) // 10)
+        variables, history = pretrain_on_pairs(
+            pairs[n_val:], pairs[:n_val], **common)
+    else:
+        from realtime_style_transfer_tpu.data.imaging import list_image_paths
+
+        train_paths = list_image_paths(args.content_dir / "training")
+        val_paths = list_image_paths(args.content_dir / "validation")
+        variables, history = pretrain(train_paths, val_paths, **common)
     save_depth_checkpoint(variables, args.output)
     print(
         f"saved {args.output}; val correlation "

@@ -42,8 +42,10 @@ def parse_args():
     )
     p.add_argument(
         "--depth_checkpoint", type=Path, default=None,
-        help="pretrained MidasLite checkpoint (tools/pretrain_depth.py); "
-             "implies --depth_loss",
+        help="pretrained MidasLite checkpoint (tools/pretrain_depth.py; "
+             "orbax dir or .npz); implies --depth_loss.  Pass 'bundled' for "
+             "the committed synthetic-pretrained weights "
+             "(realtime_style_transfer_tpu/assets/midas_lite_synthetic.npz)",
     )
     p.add_argument(
         "--remat", action="store_true",
@@ -114,9 +116,14 @@ def main():
 
     depth_variables = None
     if args.depth_checkpoint is not None:
-        from realtime_style_transfer_tpu.depth_pretrain import load_depth_checkpoint
+        from realtime_style_transfer_tpu.depth_pretrain import (
+            BUNDLED_DEPTH_CHECKPOINT, load_depth_checkpoint,
+        )
 
-        depth_variables = load_depth_checkpoint(args.depth_checkpoint)
+        ckpt = args.depth_checkpoint
+        if str(ckpt) == "bundled":
+            ckpt = BUNDLED_DEPTH_CHECKPOINT
+        depth_variables = load_depth_checkpoint(ckpt)
     with_depth = (
         config.with_depth_loss or args.depth_loss
         or args.depth_checkpoint is not None
