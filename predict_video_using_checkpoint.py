@@ -77,14 +77,25 @@ def parse_args():
     )
     p.add_argument(
         "--scales", type=Path, default=None,
-        help="load --quant int8 activation scales from this .npy instead of "
+        help="load --quant int8 activation scales from this file instead of "
              "calibrating (must come from --scales_out with the SAME "
-             "checkpoint and style selection)",
+             "checkpoint and style selection — the file carries a "
+             "provenance fingerprint and a mismatch is refused without "
+             "--force_scales; loaded scales are saturation-checked on the "
+             "first --calibration_frames frames either way)",
     )
     p.add_argument(
         "--scales_out", type=Path, default=None,
-        help="save the calibrated --quant int8 scales to this .npy for "
-             "reuse via --scales (skips startup calibration on restarts)",
+        help="save the calibrated --quant int8 scales (npz with a "
+             "(checkpoint, style) provenance fingerprint) for reuse via "
+             "--scales (skips startup calibration on restarts)",
+    )
+    p.add_argument(
+        "--force_scales", action="store_true",
+        help="deploy a --scales file whose provenance fingerprint does not "
+             "match the current (checkpoint, style) selection anyway "
+             "(mismatched scales can saturate the int8 clip and silently "
+             "degrade output; the saturation check still runs and warns)",
     )
     p.add_argument(
         "--data_parallel", type=int, default=1, metavar="N",
@@ -174,11 +185,64 @@ def _calibrate_scales(engine, frames, n, style_params, weights,
     return engine.calibrate_act_scales(packed, prepared), frames, len(cal)
 
 
-def _get_scales(args, engine, frames, style_params, weights, prepared=None):
-    """int8 scales: load from --scales, else calibrate (and maybe save)."""
+def _check_loaded_scales(args, engine, frames, scales, prepared):
+    """Saturation-check --scales against the first deploy frames; warn when
+    the int8 engine would clip meaningfully under them."""
+    import jax.numpy as jnp
+
+    cal, frames = _take_calibration_frames(frames, args.calibration_frames)
+    packed = [jnp.asarray(engine.pack_frame_np(f[None])) for f in cal]
+    report = engine.check_act_saturation(packed, prepared, scales)
+    worst = max(report, key=lambda r: r["max_ratio"])
+    clips = sum(r["clip_events"] for r in report)
+    total = sum(r["n_quantized"] for r in report)
+    frac = clips / max(total, 1)
+    if worst["max_ratio"] > 1.25 or frac > 1e-3:
+        log.warning(
+            "int8 scales SATURATE on these frames (worst stage %s: "
+            "max|x|/scale = %.2f; %.4f%% of quantize events clip at "
+            "+-127 across %d frames) — output quality will degrade; "
+            "recalibrate with the deployed (checkpoint, style) selection",
+            worst["stage"], worst["max_ratio"], 100.0 * frac, len(cal))
+    else:
+        log.info(
+            "int8 scale saturation check ok on %d frames (worst stage %s: "
+            "max|x|/scale = %.2f, clip fraction %.2e)",
+            len(cal), worst["stage"], worst["max_ratio"], frac)
+    return frames
+
+
+def _get_scales(args, engine, frames, style_params, weights, variables,
+                prepared=None):
+    """int8 scales: load from --scales (fingerprint-verified + saturation-
+    checked), else calibrate (and maybe save with provenance)."""
+    from realtime_style_transfer_tpu.ops.pallas.fused_transfer import (
+        load_act_scales, save_act_scales, scales_fingerprint,
+    )
+
+    if prepared is None:
+        prepared = engine.prepare_style(style_params, weights)
+    fingerprint = scales_fingerprint(variables, style_params, weights)
     if args.scales is not None:
-        scales = np.load(args.scales)
+        scales, file_fp = load_act_scales(args.scales)
+        if file_fp is not None and file_fp != fingerprint:
+            if not args.force_scales:
+                raise SystemExit(
+                    f"--scales {args.scales} was calibrated against a "
+                    "DIFFERENT (checkpoint, style) selection than the one "
+                    "being deployed — mismatched scales can saturate the "
+                    "int8 clip and silently degrade output.  Recalibrate "
+                    "(drop --scales), or pass --force_scales to deploy "
+                    "them anyway.")
+            log.warning(
+                "--scales fingerprint mismatch overridden by --force_scales")
+        elif file_fp is None:
+            log.warning(
+                "--scales %s has no provenance fingerprint (legacy .npy); "
+                "cannot verify it matches this (checkpoint, style) — "
+                "running the saturation check", args.scales)
         log.info("loaded int8 scales from %s", args.scales)
+        frames = _check_loaded_scales(args, engine, frames, scales, prepared)
         return scales, frames
     scales, frames, n_cal = _calibrate_scales(
         engine, frames, args.calibration_frames, style_params, weights,
@@ -186,7 +250,7 @@ def _get_scales(args, engine, frames, style_params, weights, prepared=None):
     log.info("int8 engine calibrated on %d frames", n_cal)
     if args.scales_out is not None:
         args.scales_out.parent.mkdir(parents=True, exist_ok=True)
-        np.save(args.scales_out, np.asarray(scales))
+        save_act_scales(args.scales_out, np.asarray(scales), fingerprint)
         log.info("saved int8 scales to %s", args.scales_out)
     return scales, frames
 
@@ -277,7 +341,8 @@ def main():
             # calibrate single-chip on the streamer's own bf16 per-chip
             # engine (scales are mesh-independent: same kernel per chip)
             scales, frames = _get_scales(
-                args, streamer.fused_engine, frames, style_params, weights)
+                args, streamer.fused_engine, frames, style_params, weights,
+                variables)
             streamer = FusedStreamStylizer(
                 variables, plan, mesh, num_styles=config.num_styles,
                 path="fused", interpret=streamer.fused_engine.interpret,
@@ -389,7 +454,8 @@ def main():
                 f"--quant int8 requires the fused path (got '{path}'); pass "
                 "--path fused on a fused-family config")
         scales, frames = _get_scales(
-            args, fused, frames, style_params, weights, prepared=prepared)
+            args, fused, frames, style_params, weights, variables,
+            prepared=prepared)
         fused = FusedTransfer(jax.device_get(variables), plan,
                               num_styles=config.num_styles,
                               interpret=fused.interpret,

@@ -83,10 +83,82 @@ STATS_C = 256  # max packed channel count of any CIN layer
 _VMEM_CAP_MB = float(os.environ.get("RST_FUSED_VMEM_CAP_MB", 18))
 _BUDGET_MB = float(os.environ.get("RST_FUSED_BUDGET_MB", 14))
 _BUDGET_DUAL_MB = float(os.environ.get("RST_FUSED_BUDGET_DUAL_MB", 12))
+# Direct band-DMA-to-compute-ring (r4, unblocked by finding 12): stages with
+# no input transform DMA straight into a double-buffered PADDED compute ring,
+# eliminating the staging->temp VPU copy (~96 MB/frame over the five
+# no-transform stages of the flagship).  The r3 attempt died on the 16 MB
+# scoped-VMEM cliff (finding 9); the probe proved that cliff is compiler
+# conservatism, so this re-lands it under the raised cap.
+_DIRECT_RING = os.environ.get("RST_FUSED_DIRECT_RING", "1") not in ("0", "")
+# Dual-style expand-resolution weight mips (wE0/wE1/wFin, ~30 MB total on
+# the flagship) as VMEM-RESIDENT kernel inputs instead of per-band DMA
+# rings.  r3 wrote the ~0.14 ms expand-mip ring traffic off under the 16 MB
+# scoped-VMEM assumption (the resident planes were uncompilable); finding 12
+# killed that assumption, so this re-lands it under a raised cap (the
+# resident inputs charge the same scoped stack — finding 9 bullet 3).
+_WMIP_RESIDENT = os.environ.get("RST_FUSED_WMIP_RESIDENT", "1") not in ("0", "")
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# int8 deploy-scale provenance (no reference counterpart: guards the
+# framework's own PTQ deploy contract — scales are per (checkpoint, style),
+# see calibrate_act_scales)
+# ---------------------------------------------------------------------------
+
+
+def scales_fingerprint(variables, style_params, style_weights=None) -> str:
+    """Provenance hash of what int8 activation scales were calibrated against.
+
+    The scales are maxima of post-CIN-affine activations, so they are a
+    function of (transfer weights, style params[, dual weight map]).  A
+    scales file deployed against a different (checkpoint, style) pair can
+    saturate the ±127 clip and silently degrade output — fingerprinting the
+    pair lets the deploy CLI refuse the mismatch instead.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    leaves, treedef = jax.tree_util.tree_flatten(jax.device_get(variables))
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        h.update(str((a.shape, str(a.dtype))).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    h.update(np.asarray(jax.device_get(style_params), np.float32).tobytes())
+    if style_weights is not None:
+        h.update(np.asarray(
+            jax.device_get(style_weights), np.float32).tobytes())
+    return h.hexdigest()
+
+
+def save_act_scales(path, scales, fingerprint: Optional[str] = None) -> None:
+    """Write an int8 scales file (.npz with provenance fingerprint).
+
+    Writes through an open handle so the exact path is honored (np.savez
+    would otherwise append ``.npz`` to e.g. a ``--scales_out foo.npy``).
+    """
+    with open(path, "wb") as f:
+        np.savez(f, scales=np.asarray(scales, np.float32),
+                 fingerprint=np.asarray(fingerprint or ""))
+
+
+def load_act_scales(path):
+    """Read a scales file -> (scales, fingerprint-or-None).
+
+    Accepts the fingerprinted .npz format and the legacy bare .npy
+    (fingerprint None — callers should treat unfingerprinted scales as
+    unverified and run :meth:`FusedTransfer.check_act_saturation`).
+    """
+    data = np.load(path, allow_pickle=False)
+    if hasattr(data, "files"):  # npz
+        scales = np.asarray(data["scales"], np.float32)
+        fp = str(data["fingerprint"]) if "fingerprint" in data.files else ""
+        return scales, (fp or None)
+    return np.asarray(data, np.float32), None
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +284,9 @@ class FusedTransfer:
                  cin_epsilon: float = CIN_EPS, interpret: bool = False,
                  debug_stages: Optional[int] = None,
                  quant: Optional[str] = None,
-                 act_scales: Optional[np.ndarray] = None):
+                 act_scales: Optional[np.ndarray] = None,
+                 direct_ring: Optional[bool] = None,
+                 wmip_resident: Optional[bool] = None):
         if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
             raise ValueError("fused kernel supports the 2-contract/2-expand "
                              "(flagship) family; use stylize_packed otherwise")
@@ -241,6 +315,10 @@ class FusedTransfer:
             raise ValueError("need at least 2 row bands")
         # compact VMEM-resident wB plane needs 8-aligned window math
         self._wb_resident = self.dual and self.hp % 8 == 0
+        # expand-resolution mips resident in VMEM (dual only; ~30 MB on the
+        # flagship — needs the raised scoped-VMEM cap, see _launch)
+        self._w_all_resident = self.dual and (
+            _WMIP_RESIDENT if wmip_resident is None else bool(wmip_resident))
         # int8 deploy quantization (opt-in): int8 kernels (per-cout scales)
         # x int8 activations (static per-stage scales from calibrate_act_
         # scales) on the conv-stage MXU path; accumulate int32, dequantize
@@ -251,6 +329,10 @@ class FusedTransfer:
         if quant not in (None, "int8"):
             raise ValueError(f"quant must be None or 'int8', got {quant!r}")
         self.quant = quant == "int8"
+        # Direct band-DMA-to-compute-ring on no-transform stages (module
+        # docstring / finding 9 re-land).  Constructor overrides the env
+        # default (RST_FUSED_DIRECT_RING) for A/B measurement.
+        self.direct = _DIRECT_RING if direct_ring is None else bool(direct_ring)
         if self.quant and act_scales is None:
             raise ValueError("quant='int8' requires act_scales from "
                              "calibrate_act_scales() on the bf16 engine")
@@ -538,7 +620,18 @@ class FusedTransfer:
 
     # ---- the kernel ---------------------------------------------------------
 
-    def _pick_th(self, si: int, st: _Stage, *, calibrate: bool = False) -> int:
+    def _direct_ok(self, st: _Stage) -> bool:
+        """Stage qualifies for the direct band-DMA-to-compute-ring path:
+        no input transform (the staging pass would be a pure copy) and no
+        skip-out (which reads the transformed band).  quant engines keep the
+        staging pass — there it IS the int8 quantize, not a copy."""
+        return (self.direct and st.kind == "conv"
+                and not st.in_affine and not st.in_relu
+                and st.skip_in is None and st.skip_out is None
+                and not self.quant)
+
+    def _pick_th(self, si: int, st: _Stage, *, calibrate: bool = False,
+                 check: bool = False) -> int:
         """Largest band height whose stage VMEM footprint stays in budget.
 
         Bigger bands amortize per-band DMA issue/copy overhead and the band
@@ -562,10 +655,27 @@ class FusedTransfer:
         # int8 mode: temp + kernel shrink to 1 byte/elt, but the f32
         # quantize chain keeps an extra temporary live
         mm_sz = 1 if self.quant else 2
+        direct = self._direct_ok(st) and not calibrate and not check
         for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
                          reverse=True):
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
+            if direct:
+                # double-buffered padded compute ring (no staging ring) +
+                # the traced-slot band value the tap matmuls read from;
+                # content sits at the 8-aligned column offset (DMA dst rule)
+                xw_d = _round_up(-st.lo_x, 8)
+                wpad_d = _round_up(xw_d + wp + (st.pw - 1 + st.lo_x), 8)
+                est = (
+                    2 * rows * wpad_d * st.cin * 2    # DMA'd compute ring
+                    + rows * wpad_d * st.cin * 2      # traced-slot band read
+                    + 2 * th * wp * st.cout * 2       # out ring
+                    + th * wp * st.cout * 4           # f32 accumulator
+                    + int(np.prod(self._kernels[si].shape)) * 2
+                )
+                if est <= budget or th == 1:
+                    return th
+                continue
             est = (
                 rows * wpad * st.cin * mm_sz          # padded temp
                 + 2 * rows * wp * st.cin * 2          # staging ring
@@ -580,6 +690,10 @@ class FusedTransfer:
                 est += rows * wp * st.cin * 4         # f32 quantize temp
             if calibrate:
                 # calibration materializes |xt| as a full-band f32 temp
+                est += rows * wp * st.cin * 4
+            if check:
+                # the saturation check keeps a second f32 band temp live
+                # (the |x|*inv comparison chain)
                 est += rows * wp * st.cin * 4
             if has_skip:
                 est += 2 * (rows + th) * wp * LANE * 2
@@ -599,7 +713,12 @@ class FusedTransfer:
     def _kernel_fn_calibrate(self, content, *refs):
         return self._kernel_impl(False, content, *refs, calibrate=True)
 
-    def _kernel_impl(self, chunked, content, *refs, calibrate=False):
+    def _kernel_fn_check(self, content, *refs):
+        return self._kernel_impl(False, content, *refs, calibrate=True,
+                                 check=True)
+
+    def _kernel_impl(self, chunked, content, *refs, calibrate=False,
+                     check=False):
         n_k = len(self._kernels)
         kernel_refs = refs[:n_k]
         n_w = 4 if self.dual else 0
@@ -610,6 +729,10 @@ class FusedTransfer:
         if self.quant:
             dequant_tbl, act_inv_tbl = refs[nt:nt + 2]
             nt += 2
+        check_inv_tbl = None
+        if check:
+            check_inv_tbl = refs[nt]
+            nt += 1
         w_refs = refs[nt:nt + n_w]
         tail = refs[nt + n_w:]
         cal_out = cal_sc = None
@@ -638,8 +761,184 @@ class FusedTransfer:
         hp, wp = self.hp, self.wp
         eps = self.eps
 
+        def fold_cin_affine(st: _Stage):
+            """Fold the accumulated moments with the stage's style rows into
+            the consumer-side CIN affine (base + dual deltas) in affine_sc."""
+            n = jnp.float32(st.n_per_channel)
+            if st.group is not None:
+                g = g_by_name[st.group]
+                gw = g.shape[0]
+                sums = jnp.dot(stats_sc[0:1, :gw], g[...],
+                               preferred_element_type=jnp.float32)
+                sqs = jnp.dot(stats_sc[1:2, :gw], g[...],
+                              preferred_element_type=jnp.float32)
+            else:
+                gw = STATS_C
+                sums = stats_sc[0:1, :]
+                sqs = stats_sc[1:2, :]
+            mean = sums / n
+            var = sqs / n - mean * mean
+            inv = jax.lax.rsqrt(var + jnp.float32(eps))
+            a = style_tbl[st.style_slot, 0:1, :gw] * inv
+            b = style_tbl[st.style_slot, 1:2, :gw] - mean * a
+            affine_sc[0:1, :gw] = a
+            affine_sc[1:2, :gw] = b
+            if self.dual:
+                # per-pixel blend a0 + w*(a1-a0): store the deltas
+                a1 = style_tbl[st.style_slot, 2:3, :gw] * inv
+                b1 = style_tbl[st.style_slot, 3:4, :gw] - mean * a1
+                affine_sc[2:3, :gw] = a1 - a
+                affine_sc[3:4, :gw] = b1 - b
+
+        def run_conv_direct(si: int, st: _Stage, k_ref):
+            """Direct band-DMA-to-compute-ring (no staging pass).
+
+            For stages whose staging write is a PURE COPY (no CIN affine /
+            relu / skip — ``_direct_ok``), band loads DMA straight into a
+            double-buffered padded compute ring, eliminating one full VPU
+            pass over the band (~96 MB/frame across the flagship's five
+            no-transform stages).  Edge bands load the same clamped full
+            window the staging path loads and fix the row misalignment with
+            one in-VMEM shift (2 of nb bands); the tap matmuls read a
+            traced-slot band value (the Mosaic band copy r3's finding 9
+            priced at ~2.3 MB scoped — affordable now that finding 12 showed
+            the 16 MB scoped-VMEM limit is compiler conservatism, lifted via
+            ``vmem_limit_bytes``)."""
+            th = self._pick_th(si, st, calibrate=calibrate, check=check)
+            nb = hp // th
+            rows = th + st.ph - 1
+            first_shift = -st.lo_y
+            last_shift = st.ph - 1 + st.lo_y
+            # VMEM DMA destinations need 8-aligned sublane (column) offsets
+            # (Mosaic memref_slice tiling proof), so the content lands at the
+            # aligned column xw >= -lo_x and the tap reads shift by the
+            # difference (value-level slices have no alignment constraint).
+            xw = _round_up(-st.lo_x, 8)
+            dx_shift = xw + st.lo_x
+            wpad = _round_up(xw + wp + (st.pw - 1 + st.lo_x), 8)
+
+            def body(*scratch):
+                temp, kbuf, outb, insem, outsem = scratch
+                cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
+                cp.start()
+                src = buf[st.src]
+
+                def in_dma(slot, i):
+                    w0 = i * th + st.lo_y
+                    s = jnp.clip(w0, 0, hp - rows)
+                    return pltpu.make_async_copy(
+                        src.at[pl.ds(s, rows), :, pl.ds(0, st.cin)]
+                        if st.src != "content" else src.at[pl.ds(s, rows)],
+                        temp.at[slot, pl.ds(0, rows), pl.ds(xw, wp)],
+                        insem.at[slot])
+
+                def out_dma(slot, i):
+                    return pltpu.make_async_copy(
+                        outb.at[slot],
+                        buf[st.dst].at[pl.ds(i * th, th), :,
+                                       pl.ds(st.dst_c0, st.cout)],
+                        outsem.at[slot])
+
+                in_dma(0, 0).start()
+                cp.wait()
+
+                def band(i, _):
+                    slot = i % 2
+                    nxt = (i + 1) % 2
+
+                    @pl.when(i + 1 < nb)
+                    def _():
+                        in_dma(nxt, i + 1).start()
+
+                    in_dma(slot, i).wait()
+
+                    # edge-band corrections: the clamped window loaded rows
+                    # shifted by the halo; shift back in VMEM and zero the
+                    # halo rows (2 of nb bands; the staging path pays the
+                    # same work via its shifted writes)
+                    if first_shift > 0:
+                        @pl.when(i == 0)
+                        def _():
+                            x = temp[slot, 0:rows - first_shift, xw:xw + wp]
+                            temp[slot, first_shift:rows, xw:xw + wp] = x
+                            temp[slot, 0:first_shift, xw:xw + wp] = jnp.zeros(
+                                (first_shift, wp, st.cin), temp.dtype)
+                    if last_shift > 0:
+                        @pl.when(i == nb - 1)
+                        def _():
+                            x = temp[slot, last_shift:rows, xw:xw + wp]
+                            temp[slot, 0:rows - last_shift, xw:xw + wp] = x
+                            temp[slot, rows - last_shift:rows,
+                                 xw:xw + wp] = jnp.zeros(
+                                (last_shift, wp, st.cin), temp.dtype)
+
+                    band_src = temp[slot]  # one traced-slot read per band
+                    taps = self._taps[si]
+                    acc = jnp.zeros((th * wp, st.cout), jnp.float32)
+                    for dx in sorted(set(d for _, d in taps)):
+                        slab = band_src[:, dx + dx_shift:dx + dx_shift + wp, :]
+                        for dy in range(st.ph):
+                            if (dy, dx) not in taps:
+                                continue
+                            patch = slab[dy:dy + th].reshape(
+                                th * wp, st.cin)
+                            for c0, c1 in taps[(dy, dx)]:
+                                acc += jnp.dot(
+                                    patch[:, c0:c1], kbuf[dy, dx, c0:c1],
+                                    preferred_element_type=jnp.float32)
+                    bias = bias_tbl[si:si + 1, :st.cout]
+                    if st.epi == "contract":
+                        acc = jnp.maximum(acc + bias, 0.0)
+                        cs = contract_tbl[si, 0:1, :st.cout]
+                        cb = contract_tbl[si, 1:2, :st.cout]
+                        acc = jnp.maximum(acc * cs + cb, 0.0)
+                    elif st.epi == "relu":
+                        acc = jnp.maximum(acc + bias, 0.0)
+                    else:  # 'bias'
+                        acc = acc + bias
+                    if st.stats:
+                        stats_sc[0:1, :st.cout] += jnp.sum(
+                            acc, axis=0, keepdims=True)
+                        stats_sc[1:2, :st.cout] += jnp.sum(
+                            acc * acc, axis=0, keepdims=True)
+                    outv = acc.astype(jnp.bfloat16)
+
+                    @pl.when(i >= 2)
+                    def _():
+                        out_dma(slot, i - 2).wait()
+
+                    outb[slot] = outv.reshape(th, wp, st.cout)
+                    out_dma(slot, i).start()
+                    return 0
+
+                if st.stats:
+                    stats_sc[...] = jnp.zeros_like(stats_sc)
+                # zero the side column strips of BOTH ring slots once per
+                # stage (bands only overwrite the content columns)
+                for sl in range(2):
+                    if xw > 0:
+                        temp[sl, :, 0:xw, :] = jnp.zeros(
+                            (rows, xw, st.cin), temp.dtype)
+                    if wpad > xw + wp:
+                        temp[sl, :, xw + wp:wpad, :] = jnp.zeros(
+                            (rows, wpad - xw - wp, st.cin), temp.dtype)
+                jax.lax.fori_loop(0, nb, band, 0)
+                out_dma((nb - 2) % 2, nb - 2).wait()
+                out_dma((nb - 1) % 2, nb - 1).wait()
+                if st.stats:
+                    fold_cin_affine(st)
+
+            scratch = [
+                pltpu.VMEM((2, rows, wpad, st.cin), jnp.bfloat16),
+                pltpu.VMEM(self._kernels[si].shape, jnp.bfloat16),
+                pltpu.VMEM((2, th, wp, st.cout), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            pl.run_scoped(body, *scratch)
+
         def run_conv(si: int, st: _Stage, k_ref):
-            th = self._pick_th(si, st, calibrate=calibrate)
+            th = self._pick_th(si, st, calibrate=calibrate, check=check)
             nb = hp // th
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
@@ -648,8 +947,10 @@ class FusedTransfer:
             has_skip = st.skip_in is not None or st.skip_out is not None
             w_resident = (self.dual and st.in_affine and st.w_src == "wB"
                           and self._wb_resident)  # f32 (hp, wp) plane in VMEM
+            w_vmem = (self.dual and st.in_affine and st.w_src is not None
+                      and st.w_src != "wB" and self._w_all_resident)
             has_w = (self.dual and st.in_affine and st.w_src is not None
-                     and not w_resident)
+                     and not w_resident and not w_vmem)
             has_transform = (st.in_affine or st.in_relu
                              or st.skip_in is not None)
 
@@ -745,7 +1046,7 @@ class FusedTransfer:
                                 1, 1, st.cin).astype(jnp.bfloat16)
                             b = affine_sc[1:2, :st.cin].reshape(
                                 1, 1, st.cin).astype(jnp.bfloat16)
-                            if has_w or w_resident:
+                            if has_w or w_resident or w_vmem:
                                 da = affine_sc[2:3, :st.cin].reshape(
                                     1, 1, st.cin).astype(jnp.bfloat16)
                                 db = affine_sc[3:4, :st.cin].reshape(
@@ -765,6 +1066,15 @@ class FusedTransfer:
                                     wv = pltpu.roll(ww, s8 - s, 0)[
                                         0:rows][:, :, None].astype(
                                         jnp.bfloat16)
+                                elif w_vmem:
+                                    # expand mip resident in VMEM: read the
+                                    # clamped band window directly (first dim
+                                    # is untiled, so the traced offset is
+                                    # fine) — no DMA ring at all
+                                    w0 = i * th + st.lo_y
+                                    s = jnp.clip(w0, 0, hp - rows)
+                                    wv = buf[st.w_src][
+                                        pl.ds(s, rows), :, pl.ds(0, st.cin)]
                                 else:
                                     w_dma(slot, i).wait()
                                     wv = w_stag[slot]
@@ -783,10 +1093,25 @@ class FusedTransfer:
                     if calibrate:
                         # per-channel max over the exact matmul input (incl.
                         # the clamped halo rows, which are real activations)
-                        m = jnp.max(jnp.abs(xt.astype(jnp.float32)),
-                                    axis=(0, 1))
+                        xf = jnp.abs(xt.astype(jnp.float32))
+                        m = jnp.max(xf, axis=(0, 1))
                         cal_sc[0:1, :st.cin] = jnp.maximum(
                             cal_sc[0:1, :st.cin], m[None, :])
+                        if check:
+                            # count the elements the quant engine would clip
+                            # at ±127 under the GIVEN scales.  Bands quantize
+                            # their halo rows too, so this is the deploy
+                            # engine's clip-EVENT count (an element in two
+                            # bands' windows is quantized — and counted —
+                            # twice, matching what the int8 kernel executes).
+                            # Threshold 127.5: below it rint() lands on <=127
+                            # anyway (no information loss), and it absorbs the
+                            # f32 rounding of 127/s on the max element itself.
+                            inv = check_inv_tbl[si:si + 1, :st.cin].reshape(
+                                1, 1, st.cin)
+                            over = (xf * inv > 127.5).astype(jnp.float32)
+                            cal_sc[1:2, :st.cin] += jnp.sum(
+                                over, axis=(0, 1))[None, :]
                     if self.quant:
                         # static per-stage per-channel scales: quantize in
                         # the same pass that staged into temp before (f32
@@ -919,34 +1244,13 @@ class FusedTransfer:
                     skip_out_dma((nb - 1) % 2, nb - 1).wait()
 
                 if calibrate:
-                    cal_out[pl.ds(si, 1), :] = cal_sc[...]
+                    if check:
+                        cal_out[pl.ds(2 * si, 2), :] = cal_sc[...]
+                    else:
+                        cal_out[pl.ds(si, 1), :] = cal_sc[0:1, :]
 
                 if st.stats:
-                    n = jnp.float32(st.n_per_channel)
-                    if st.group is not None:
-                        g = g_by_name[st.group]
-                        gw = g.shape[0]
-                        sums = jnp.dot(stats_sc[0:1, :gw], g[...],
-                                       preferred_element_type=jnp.float32)
-                        sqs = jnp.dot(stats_sc[1:2, :gw], g[...],
-                                      preferred_element_type=jnp.float32)
-                    else:
-                        gw = STATS_C
-                        sums = stats_sc[0:1, :]
-                        sqs = stats_sc[1:2, :]
-                    mean = sums / n
-                    var = sqs / n - mean * mean
-                    inv = jax.lax.rsqrt(var + jnp.float32(eps))
-                    a = style_tbl[st.style_slot, 0:1, :gw] * inv
-                    b = style_tbl[st.style_slot, 1:2, :gw] - mean * a
-                    affine_sc[0:1, :gw] = a
-                    affine_sc[1:2, :gw] = b
-                    if self.dual:
-                        # per-pixel blend a0 + w*(a1-a0): store the deltas
-                        a1 = style_tbl[st.style_slot, 2:3, :gw] * inv
-                        b1 = style_tbl[st.style_slot, 3:4, :gw] - mean * a1
-                        affine_sc[2:3, :gw] = a1 - a
-                        affine_sc[3:4, :gw] = b1 - b
+                    fold_cin_affine(st)
 
             mm_dt = jnp.int8 if self.quant else jnp.bfloat16
             scratch = [
@@ -979,6 +1283,8 @@ class FusedTransfer:
             th = self.th
             nb = hp // th
             has_w = self.dual and st.in_affine and st.w_src is not None
+            w_vmem = has_w and self._w_all_resident  # wFin resident in VMEM
+            has_w = has_w and not w_vmem
 
             def body(*scratch):
                 it = iter(scratch)
@@ -1032,12 +1338,15 @@ class FusedTransfer:
                     b = affine_sc[1:2, :LANE].reshape(
                         1, 1, LANE).astype(jnp.bfloat16)
                     xb = x * a + b
-                    if has_w:
+                    if has_w or w_vmem:
                         da = affine_sc[2:3, :LANE].reshape(
                             1, 1, LANE).astype(jnp.bfloat16)
                         db = affine_sc[3:4, :LANE].reshape(
                             1, 1, LANE).astype(jnp.bfloat16)
-                        xb = xb + w_stag[slot] * (x * da + db)
+                        wv = (buf[st.w_src][pl.ds(i * th, th), :,
+                                            pl.ds(0, LANE)]
+                              if w_vmem else w_stag[slot])
+                        xb = xb + wv * (x * da + db)
                     y = xb.astype(jnp.float32)
 
                     @pl.when(i >= 2)
@@ -1073,7 +1382,10 @@ class FusedTransfer:
             stages = stages[:self.debug_stages]
         for si, st in enumerate(stages):
             if st.kind == "conv":
-                run_conv(si, st, kernel_refs[ki])
+                if (self._direct_ok(st) and not calibrate and not check):
+                    run_conv_direct(si, st, kernel_refs[ki])
+                else:
+                    run_conv(si, st, kernel_refs[ki])
                 ki += 1
             else:
                 run_pointwise(st)
@@ -1218,6 +1530,75 @@ class FusedTransfer:
             raise ValueError("need at least one calibration frame")
         return mx[:len(self._kernels)].astype(np.float32)
 
+    def _act_inv_rows(self, scales: np.ndarray) -> np.ndarray:
+        """Per-stage ``127/s_c`` quantization rows (the int8 engine's
+        ``act_inv`` table) for the given activation scales."""
+        scales = np.asarray(scales, np.float32)
+        rows = np.zeros((len(self._kernels), ACT_C), np.float32)
+        for i, k in enumerate(self._kernels):
+            cin = k.shape[2]
+            rows[i, :cin] = 127.0 / np.maximum(scales[i, :cin], 1e-6)
+        return rows
+
+    def check_act_saturation(self, packed_frames, prepared, act_scales):
+        """Measure how hard the GIVEN int8 scales would clip on these frames.
+
+        The deploy guard for the per-(checkpoint, style) scale contract (see
+        :meth:`calibrate_act_scales`): runs the calibration kernel mode with
+        the scales-under-test and counts, per conv stage, the elements the
+        int8 engine would saturate at ±127 — the exact quantize inputs the
+        deploy kernel walks, including the clamped halo rows it re-quantizes
+        per band.  Run on the bf16 engine with the DEPLOY style table in
+        ``prepared``.
+
+        Returns a list of per-conv-stage dicts:
+        ``{"stage", "max_ratio", "clip_events", "n_quantized"}`` where
+        ``max_ratio`` is ``max_c(max|x|_c / scale_c)`` (1.0 = the scale is
+        exactly the observed max; >1 clips) and ``clip_events/n_quantized``
+        is the clip fraction of all quantize events across the frames.
+        """
+        if self.quant:
+            raise ValueError("check saturation on the bf16 engine, "
+                             "not a quant one")
+        scales = np.asarray(act_scales, np.float32)
+        if scales.shape != (len(self._kernels), ACT_C):
+            raise ValueError(
+                f"act_scales must be ({len(self._kernels)}, {ACT_C}); got "
+                f"{scales.shape}")
+        inv_tbl = jnp.asarray(self._act_inv_rows(scales))
+        n_rows = _round_up(2 * len(self.stages), 8)
+        out_shapes = self._act_out_shapes(self.hp, self.wp) + (
+            jax.ShapeDtypeStruct((n_rows, ACT_C), jnp.float32),)
+        jitted = jax.jit(lambda p, prep, inv: self._launch(
+            self._kernel_fn_check, p, prep, out_shapes, calibrate=True,
+            extra_tables=(inv,))[-1])
+        n_k = len(self._kernels)
+        mx = counts = None
+        n_frames = 0
+        for p in packed_frames:
+            m = np.asarray(jitted(p, prepared, inv_tbl))
+            maxima, clips = m[0::2][:n_k], m[1::2][:n_k]
+            mx = maxima if mx is None else np.maximum(mx, maxima)
+            counts = clips if counts is None else counts + clips
+            n_frames += 1
+        if n_frames == 0:
+            raise ValueError("need at least one frame to check")
+        report = []
+        conv_stages = [st for st in self.stages if st.kind == "conv"]
+        for i, st in enumerate(conv_stages):
+            th = self._pick_th(i, st, calibrate=True, check=True)
+            rows = th + st.ph - 1
+            n_elems = (self.hp // th) * rows * self.wp * st.cin * n_frames
+            ratio = float(np.max(
+                mx[i, :st.cin] / np.maximum(scales[i, :st.cin], 1e-6)))
+            report.append({
+                "stage": st.name,
+                "max_ratio": ratio,
+                "clip_events": int(counts[i].sum()),
+                "n_quantized": int(n_elems),
+            })
+        return report
+
     def stylize_prepacked(self, packed: jnp.ndarray, prepared) -> jnp.ndarray:
         """Per-frame call on a pre-packed frame (see :meth:`pack_frame`)."""
         return self._jitted_prepacked(packed, prepared)
@@ -1249,13 +1630,17 @@ class FusedTransfer:
 
     def _w_specs(self, w_inputs):
         """Dual-style mip input specs: wB VMEM-resident (when the compact
-        plane is usable), the rest HBM-streamed rings."""
+        plane is usable); the expand-resolution mips VMEM-resident when
+        ``_w_all_resident`` (r4 — the raised scoped-VMEM cap makes their
+        ~30 MB affordable), else HBM-streamed rings."""
         if not w_inputs:
             return []
         wb_spec = pl.BlockSpec(
             memory_space=pltpu.VMEM if self._wb_resident else pl.ANY)
+        rest_space = pltpu.VMEM if self._w_all_resident else pl.ANY
         return ([wb_spec]
-                + [pl.BlockSpec(memory_space=pl.ANY)] * (len(w_inputs) - 1))
+                + [pl.BlockSpec(memory_space=rest_space)]
+                * (len(w_inputs) - 1))
 
     def _run_raw(self, content, prepared):
         return self._run_packed(self.pack_frame(content), prepared)
@@ -1271,7 +1656,7 @@ class FusedTransfer:
         )
 
     def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None,
-                calibrate=False):
+                calibrate=False, extra_tables=()):
         """Shared ``pallas_call`` builder for the single-frame and chunk
         launches — one place for the in/out specs, scratch, and operands."""
         style_tbl, *w_inputs = prepared
@@ -1286,7 +1671,14 @@ class FusedTransfer:
         # The v5e physically has 128 MB of VMEM — raise the cap by 2 MB so
         # the tuned schedules keep compiling regardless of the caller's
         # program shape instead of re-tuning every budget 0.5 MB down.
-        vmem_cap = dict(vmem_limit_bytes=int(_VMEM_CAP_MB * 2 ** 20))
+        vmem_bytes = int(_VMEM_CAP_MB * 2 ** 20)
+        if self._w_all_resident and w_inputs:
+            # resident weight-mip inputs charge the same scoped-VMEM stack as
+            # kernel scratch (finding 9); keep the stage headroom constant
+            # above them
+            vmem_bytes += sum(
+                int(np.prod(w.shape)) * w.dtype.itemsize for w in w_inputs)
+        vmem_cap = dict(vmem_limit_bytes=vmem_bytes)
         if grid is not None:
             kwargs["grid"] = grid
             kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -1299,6 +1691,7 @@ class FusedTransfer:
                   self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"]]
         if self.quant:
             tables += [self._dequant, self._act_inv]
+        tables += list(extra_tables)
         out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes]
         scratch = [
             pltpu.VMEM((2, STATS_C), jnp.float32),   # stats
@@ -1307,9 +1700,10 @@ class FusedTransfer:
         ]
         if calibrate:
             # the per-stage act-max output rides in VMEM (tiny) so stages
-            # can store rows directly
+            # can store rows directly; row 1 carries the saturation-check
+            # clip counts (unused in plain calibration)
             out_specs[-1] = pl.BlockSpec(memory_space=pltpu.VMEM)
-            scratch.append(pltpu.VMEM((1, ACT_C), jnp.float32))
+            scratch.append(pltpu.VMEM((2, ACT_C), jnp.float32))
         return pl.pallas_call(
             kernel_fn,
             in_specs=(

@@ -171,6 +171,40 @@ def test_quant_chunk_mode_matches_single_frames(single):
     np.testing.assert_array_equal(chunk, singles)
 
 
+def test_saturation_check_flags_mismatched_style_scales(single):
+    """The deploy guard (check_act_saturation): scales calibrated for style
+    A, deployed with a stronger style B, must report >1 max ratios and
+    nonzero clip events; the matching style must report none."""
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    packed = ft.pack_frame(content)
+    prep_a = ft.prepare_style(style_params)
+    scales_a = ft.calibrate_act_scales([packed], prep_a)
+
+    # matching (checkpoint, style): scales are the observed maxima, so no
+    # quantize event exceeds them (ratio == 1 on the max element, no clips)
+    ok = ft.check_act_saturation([packed], prep_a, scales_a)
+    assert max(r["max_ratio"] for r in ok) <= 1.0 + 1e-5
+    assert sum(r["clip_events"] for r in ok) == 0
+    assert all(r["n_quantized"] > 0 for r in ok)
+
+    # mismatched style with much larger CIN affines: saturates
+    rng = np.random.default_rng(55)
+    strong = jnp.asarray(
+        (rng.random((1, 1, plan.num_style_parameters)) * 2.0 + 3.0)
+        .astype(np.float32))
+    prep_b = ft.prepare_style(strong)
+    bad = ft.check_act_saturation([packed], prep_b, scales_a)
+    assert max(r["max_ratio"] for r in bad) > 1.25
+    assert sum(r["clip_events"] for r in bad) > 0
+
+    # refuses to run on a quant engine (scales must come from bf16)
+    ftq = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                        act_scales=scales_a)
+    with pytest.raises(ValueError, match="bf16 engine"):
+        ftq.check_act_saturation([packed], prep_a, scales_a)
+
+
 def test_calibrate_refuses_on_quant_engine(single):
     plan, variables, content, style_params, _ = single
     ft = FusedTransfer(variables, plan, interpret=True)

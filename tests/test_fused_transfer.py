@@ -92,6 +92,22 @@ def test_fused_matches_packed(flagship_tiny):
     assert np.median(np.abs(got - want)) < 5e-3
 
 
+def test_direct_ring_bit_identical_to_staging(flagship_tiny):
+    """The r4 direct band-DMA-to-compute-ring path (no-transform stages DMA
+    straight into the padded compute ring, finding-9 re-land) must be
+    BIT-identical to the staging-pass structure: same values, same summation
+    order — only the copy is gone."""
+    _cfg, plan, _net, variables, content, style_params = flagship_tiny
+    base = FusedTransfer(variables, plan, interpret=True, direct_ring=False)
+    direct = FusedTransfer(variables, plan, interpret=True, direct_ring=True)
+    prep_b = base.prepare_style(style_params)
+    prep_d = direct.prepare_style(style_params)
+    packed = base.pack_frame(content)
+    want = np.asarray(base.stylize_prepacked(packed, prep_b), np.float32)
+    got = np.asarray(direct.stylize_prepacked(packed, prep_d), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_matches_standard_f32_loosely(flagship_tiny):
     cfg, plan, net, variables, content, style_params = flagship_tiny
     want = np.asarray(
@@ -149,6 +165,39 @@ def test_fused_dual_style_matches_packed(rng):
     blend0 = np.asarray(
         fused(content, style_params, jnp.zeros_like(weights)), np.float32)
     np.testing.assert_allclose(blend0, base, rtol=0.02, atol=0.01)
+
+
+def test_dual_wmip_resident_bit_identical_to_ring(rng):
+    """The r4 VMEM-resident expand-mip path (wE0/wE1/wFin as resident kernel
+    inputs under the raised scoped-VMEM cap) must be bit-identical to the
+    streamed DMA-ring structure — same bf16 values, no ring."""
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True,
+                      num_styles=2)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=2)
+    rng = np.random.default_rng(37)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 2, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    weights = jnp.asarray(
+        rng.random((1,) + cfg.style_weights_shape).astype(np.float32))
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(9), content, style_params, style_weights=weights,
+        train=False)
+    ring = FusedTransfer(variables, plan, num_styles=2, interpret=True,
+                         wmip_resident=False)
+    res = FusedTransfer(variables, plan, num_styles=2, interpret=True,
+                        wmip_resident=True)
+    assert res._w_all_resident and not ring._w_all_resident
+    packed = ring.pack_frame(content)
+    want = np.asarray(ring.stylize_prepacked(
+        packed, ring.prepare_style(style_params, weights)), np.float32)
+    got = np.asarray(res.stylize_prepacked(
+        packed, res.prepare_style(style_params, weights)), np.float32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_fused_dual_style_ring_fallback_matches_packed(rng):

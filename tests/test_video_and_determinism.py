@@ -190,7 +190,8 @@ def test_predict_video_int8_quant(fused_family_run, tmp_path):
         assert fa.shape == (64, 128, 3)
         assert np.abs(fa - fb).max() <= 12  # quantization, not divergence
 
-    # saved-scales restart: --scales skips calibration, output is identical
+    # saved-scales restart: --scales skips calibration (fingerprint matches,
+    # saturation check runs and passes), output is identical
     assert (tmp_path / "scales.npy").exists()
     run_cli(*common, "-o", tmp_path / "reuse.mp4",
             "--quant", "int8", "--scales", tmp_path / "scales.npy")
@@ -198,6 +199,21 @@ def test_predict_video_int8_quant(fused_family_run, tmp_path):
     for a, b in zip(int8, reuse):
         np.testing.assert_array_equal(
             np.asarray(PIL.Image.open(a)), np.asarray(PIL.Image.open(b)))
+
+    # wrong-style deploy of the same scales file: the provenance fingerprint
+    # differs, so the CLI must REFUSE without --force_scales (the int8
+    # scale/style deploy contract, fused_transfer.calibrate_act_scales)
+    other_style = root / "style" / "validation" / "1.png"
+    mismatched = [
+        "predict_video_using_checkpoint.py",
+        "--network_spec", FUSED_SPEC, "--sdr", "--dtype", "float32",
+        "-C", run, "-s", other_style,
+        "--frames_dir", root / "content" / "validation",
+        "--max_frames", "1", "--path", "fused",
+        "--quant", "int8", "--scales", tmp_path / "scales.npy",
+    ]
+    with pytest.raises(AssertionError, match="DIFFERENT"):
+        run_cli(*mismatched, "-o", tmp_path / "refused.mp4")
 
 
 @pytest.mark.cli
