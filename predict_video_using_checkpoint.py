@@ -222,7 +222,10 @@ def _get_scales(args, engine, frames, style_params, weights, variables,
 
     if prepared is None:
         prepared = engine.prepare_style(style_params, weights)
-    fingerprint = scales_fingerprint(variables, style_params, weights)
+    # fingerprinting sha256s a device_get of every checkpoint leaf — only
+    # pay for it when a scales file is being verified or written
+    if args.scales is not None or args.scales_out is not None:
+        fingerprint = scales_fingerprint(variables, style_params, weights)
     if args.scales is not None:
         scales, file_fp = load_act_scales(args.scales)
         if file_fp is not None and file_fp != fingerprint:

@@ -809,6 +809,17 @@ class FusedTransfer:
             rows = th + st.ph - 1
             first_shift = -st.lo_y
             last_shift = st.ph - 1 + st.lo_y
+            # The shift corrections below only run on bands 0 and nb-1, so
+            # interior bands assume the ``jnp.clip`` in ``in_dma`` never
+            # fires for them — true iff th covers both halo shifts.  Every
+            # currently eligible stage has packed halos <= 1 row, but a
+            # future stage with a taller packed halo (or a tiny th forced by
+            # a low RST_FUSED_BUDGET_MB) would clip bands 1 / nb-2 and
+            # corrupt output silently; fail loudly instead.
+            assert th >= max(first_shift, last_shift), (
+                f"direct ring stage {st.name!r}: band height th={th} < halo "
+                f"shift max({first_shift}, {last_shift}); raise the band "
+                f"budget or exclude this stage in _direct_ok")
             # VMEM DMA destinations need 8-aligned sublane (column) offsets
             # (Mosaic memref_slice tiling proof), so the content lands at the
             # aligned column xw >= -lo_x and the tap reads shift by the
@@ -1546,10 +1557,13 @@ class FusedTransfer:
         The deploy guard for the per-(checkpoint, style) scale contract (see
         :meth:`calibrate_act_scales`): runs the calibration kernel mode with
         the scales-under-test and counts, per conv stage, the elements the
-        int8 engine would saturate at ±127 — the exact quantize inputs the
-        deploy kernel walks, including the clamped halo rows it re-quantizes
-        per band.  Run on the bf16 engine with the DEPLOY style table in
-        ``prepared``.
+        int8 engine would saturate at ±127.  The counting runs under the
+        CHECK-mode band tiling, whose ``_pick_th`` budgets differ from the
+        deploy int8 engine's, so the per-band halo re-quantize tallies (and
+        hence ``n_quantized``) are close to but not bit-equal to the deploy
+        launch; the clip *fraction* and ``max_ratio`` are what the guard
+        thresholds read and are tiling-independent in practice.  Run on the
+        bf16 engine with the DEPLOY style table in ``prepared``.
 
         Returns a list of per-conv-stage dicts:
         ``{"stage", "max_ratio", "clip_events", "n_quantized"}`` where
