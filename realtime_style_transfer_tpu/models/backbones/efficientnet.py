@@ -66,6 +66,35 @@ def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
     )
 
 
+class Normalization(nn.Module):
+    """Keras ``layers.Normalization`` twin: ``(x - mean) / max(sqrt(var), eps)``.
+
+    The v1 Keras EfficientNets bake a ``Rescaling(1/255)`` + ``Normalization``
+    pair into the graph UNCONDITIONALLY (they never grew the v2 family's
+    ``include_preprocessing`` switch — the reference's
+    ``include_preprocessing=False`` at ``styleLoss.py:135-137`` is a
+    ``TypeError`` under every Keras that ships v1 EfficientNet, i.e. the
+    reference's EfficientNet tower is bit-rotted; see
+    ``tools/reference_oracle.py`` ``efficientnet_b3`` for the shim that makes
+    it constructible).  An un-adapted layer (``weights=None`` builds) holds
+    mean 0 / variance 1 and is the identity; an ImageNet import carries the
+    dataset stats.  Stats live in ``batch_stats`` so one converted checkpoint
+    round-trips through the BN-stats plumbing unchanged.
+    """
+
+    channels: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.channels,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "variance",
+            lambda: jnp.ones((self.channels,), jnp.float32))
+        return (x - mean.value) / jnp.maximum(jnp.sqrt(var.value), 1e-7)
+
+
 class MBConv(nn.Module):
     """EfficientNet v1 inverted bottleneck: expand -> depthwise -> SE -> project."""
 
@@ -120,6 +149,11 @@ class EfficientNetB3(nn.Module):
     def __call__(self, x, *, train: bool = False):
         taps: Dict[str, jnp.ndarray] = {}
         h = x.astype(self.dtype)
+        # v1 Keras bakes Rescaling(1/255) + Normalization into the graph
+        # unconditionally (identity Normalization for random-init builds;
+        # ImageNet stats for real imports) — see the Normalization docstring.
+        h = h / 255.0
+        h = Normalization(name="normalization")(h)
         h = nn.Conv(round_filters(32, B3_WIDTH), (3, 3), strides=(2, 2),
                     padding="SAME", use_bias=False, dtype=self.dtype,
                     name="stem_conv")(h)

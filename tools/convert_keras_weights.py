@@ -129,6 +129,171 @@ def convert_mobilenetv3(npz) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _tree_put(tree, path, value):
+    node = tree
+    for part in path[:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _keras_bn(npz, params, batch_stats, dst_module, dst_name, src_prefix):
+    _tree_put(params, (*dst_module, dst_name, "scale"),
+              npz[f"{src_prefix}/gamma:0"])
+    _tree_put(params, (*dst_module, dst_name, "bias"),
+              npz[f"{src_prefix}/beta:0"])
+    _tree_put(batch_stats, (*dst_module, dst_name, "mean"),
+              npz[f"{src_prefix}/moving_mean:0"])
+    _tree_put(batch_stats, (*dst_module, dst_name, "var"),
+              npz[f"{src_prefix}/moving_variance:0"])
+
+
+# Keras efficientnet.py applies an extra x * 1/sqrt(stddev) graph CONSTANT
+# (not a weight) after the Normalization layer when built with
+# weights="imagenet"; folding stddev into the normalization variance is
+# exact: (x-m)/sqrt(v*s) == ((x-m)/sqrt(v)) / sqrt(s).
+IMAGENET_STDDEV_RGB = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _effnet_normalization(npz, batch_stats, imagenet_rescale: bool) -> None:
+    """v1 Rescaling/Normalization stats (identity on random-init dumps)."""
+    mean = var = None
+    for key in npz.files:
+        if "normalization" not in key:
+            continue
+        if key.endswith("/mean:0"):
+            mean = np.asarray(npz[key])
+        elif key.endswith("/variance:0"):
+            var = np.asarray(npz[key])
+    if mean is None or var is None:  # dump predates the preprocessing layers
+        mean, var = np.zeros(3, np.float32), np.ones(3, np.float32)
+    if imagenet_rescale:
+        var = var * IMAGENET_STDDEV_RGB
+    batch_stats["normalization"] = {"mean": mean, "variance": var}
+
+
+def convert_efficientnet_b3(npz, imagenet_rescale: bool = False) -> dict:
+    """Keras ``efficientnet.EfficientNetB3(include_top=False)`` dump ->
+    ``models.backbones.efficientnet.EfficientNetB3`` variables.
+
+    Layer-name grammar (tf_keras applications/efficientnet.py ``block()``):
+    ``stem_conv, stem_bn, block{s}{u}_{expand_conv,expand_bn,dwconv,bn,
+    se_reduce,se_expand,project_conv,project_bn}, top_conv, top_bn`` plus the
+    baked-in ``normalization`` layer stats.  Pass ``imagenet_rescale=True``
+    when converting a ``weights="imagenet"`` dump (see IMAGENET_STDDEV_RGB).
+    Reference consumer: ``styleLoss.py:112-152``.
+    """
+    from realtime_style_transfer_tpu.models.backbones.efficientnet import (
+        B3_DEPTH,
+        EFFICIENTNET_V1_BLOCKS,
+        round_repeats,
+    )
+
+    params: dict = {}
+    batch_stats: dict = {}
+    _effnet_normalization(npz, batch_stats, imagenet_rescale)
+    bn = lambda mod, dst, src: _keras_bn(npz, params, batch_stats, mod, dst, src)
+
+    from realtime_style_transfer_tpu.models.backbones.efficientnet import (
+        B3_WIDTH,
+        round_filters,
+    )
+
+    _tree_put(params, ("stem_conv", "kernel"), npz["stem_conv/kernel:0"])
+    bn((), "stem_bn", "stem_bn")
+    if "top_conv/kernel:0" in npz.files:
+        _tree_put(params, ("top_conv", "kernel"), npz["top_conv/kernel:0"])
+        bn((), "top_bn", "top_bn")
+    else:
+        # The reference's loss tower keeps only the sub-Model up to its last
+        # tap (block7b_add), so Keras prunes top_conv/top_bn out of the dump;
+        # the taps never read them — fill zeros to satisfy the module tree.
+        cin = round_filters(EFFICIENTNET_V1_BLOCKS[-1][4], B3_WIDTH)
+        ctop = round_filters(1280, B3_WIDTH)
+        _tree_put(params, ("top_conv", "kernel"),
+                  np.zeros((1, 1, cin, ctop), np.float32))
+        params["top_bn"] = {"scale": np.ones(ctop, np.float32),
+                            "bias": np.zeros(ctop, np.float32)}
+        batch_stats["top_bn"] = {"mean": np.zeros(ctop, np.float32),
+                                 "var": np.ones(ctop, np.float32)}
+    for stage, (exp, _k, _s, r, _f) in enumerate(
+            EFFICIENTNET_V1_BLOCKS, start=1):
+        for unit in range(round_repeats(r, B3_DEPTH)):
+            name = f"block{stage}{chr(ord('a') + unit)}"
+            if exp != 1:
+                _tree_put(params, (name, "expand", "kernel"),
+                          npz[f"{name}_expand_conv/kernel:0"])
+                bn((name,), "expand_bn", f"{name}_expand_bn")
+            dw = np.asarray(npz[f"{name}_dwconv/depthwise_kernel:0"])
+            # Keras depthwise (H, W, C, 1) -> grouped-conv HWIO (H, W, 1, C)
+            _tree_put(params, (name, "depthwise", "kernel"),
+                      np.transpose(dw, (0, 1, 3, 2)))
+            bn((name,), "depthwise_bn", f"{name}_bn")
+            for se in ("se_reduce", "se_expand"):
+                _tree_put(params, (name, se, "kernel"),
+                          npz[f"{name}_{se}/kernel:0"])
+                _tree_put(params, (name, se, "bias"),
+                          npz[f"{name}_{se}/bias:0"])
+            _tree_put(params, (name, "project", "kernel"),
+                      npz[f"{name}_project_conv/kernel:0"])
+            bn((name,), "project_bn", f"{name}_project_bn")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_efficientnet_v2s(npz) -> dict:
+    """Keras ``efficientnet_v2.EfficientNetV2S(include_top=False,
+    include_preprocessing=False)`` dump ->
+    ``models.backbones.efficientnet.EfficientNetV2S`` variables.
+
+    Layer-name grammar (tf_keras applications/efficientnet_v2.py): fused
+    blocks use ``{expand_conv,expand_bn,project_conv,project_bn}`` (the
+    expand-ratio-1 blocks only ``project_*``); MBConv blocks use
+    ``{expand_conv,expand_bn,dwconv2,bn,se_reduce,se_expand,project_conv,
+    project_bn}``.  Reference consumer: ``stylePrediction.py:38-43``.
+    """
+    from realtime_style_transfer_tpu.models.backbones.efficientnet import (
+        EFFICIENTNET_V2S_BLOCKS,
+    )
+
+    params: dict = {}
+    batch_stats: dict = {}
+    bn = lambda mod, dst, src: _keras_bn(npz, params, batch_stats, mod, dst, src)
+
+    _tree_put(params, ("stem_conv", "kernel"), npz["stem_conv/kernel:0"])
+    bn((), "stem_bn", "stem_bn")
+    _tree_put(params, ("top_conv", "kernel"), npz["top_conv/kernel:0"])
+    bn((), "top_bn", "top_bn")
+    for stage, (kind, exp, _k, _s, r, _f, se_ratio) in enumerate(
+            EFFICIENTNET_V2S_BLOCKS, start=1):
+        for unit in range(r):
+            name = f"block{stage}{chr(ord('a') + unit)}"
+            if kind == "fused":
+                if exp != 1:
+                    _tree_put(params, (name, "expand", "kernel"),
+                              npz[f"{name}_expand_conv/kernel:0"])
+                    bn((name,), "expand_bn", f"{name}_expand_bn")
+                _tree_put(params, (name, "project", "kernel"),
+                          npz[f"{name}_project_conv/kernel:0"])
+                bn((name,), "project_bn", f"{name}_project_bn")
+                continue
+            _tree_put(params, (name, "expand", "kernel"),
+                      npz[f"{name}_expand_conv/kernel:0"])
+            bn((name,), "expand_bn", f"{name}_expand_bn")
+            dw = np.asarray(npz[f"{name}_dwconv2/depthwise_kernel:0"])
+            _tree_put(params, (name, "depthwise", "kernel"),
+                      np.transpose(dw, (0, 1, 3, 2)))
+            bn((name,), "depthwise_bn", f"{name}_bn")
+            if se_ratio:
+                for se in ("se_reduce", "se_expand"):
+                    _tree_put(params, (name, se, "kernel"),
+                              npz[f"{name}_{se}/kernel:0"])
+                    _tree_put(params, (name, se, "bias"),
+                              npz[f"{name}_{se}/bias:0"])
+            _tree_put(params, (name, "project", "kernel"),
+                      npz[f"{name}_project_conv/kernel:0"])
+            bn((name,), "project_bn", f"{name}_project_bn")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def convert_conv_transpose_kernel(k_tf: np.ndarray) -> np.ndarray:
     """Keras ``Conv2DTranspose`` kernel -> ``FastConvTranspose``/``nn.ConvTranspose``.
 
@@ -182,8 +347,9 @@ def convert_predictor(npz) -> dict:
 
     Head convs (``StylePredictor`` / ``StyleNormPredictor``, 1x1, HWIO both
     sides) and the dummy extractor conv map identically; a MobileNetV3-Small
-    backbone (if present in the dump) goes through :func:`convert_mobilenetv3`
-    and nests under ``backbone`` (reference ``stylePrediction.py:25-75``).
+    or EfficientNetV2-S backbone (if present in the dump — told apart by its
+    stem layer name) goes through the matching backbone converter and nests
+    under ``backbone`` (reference ``stylePrediction.py:25-75``).
     """
     params: dict = {}
     head_layers = ("StylePredictor", "StyleNormPredictor", "dummy_conv")
@@ -197,7 +363,12 @@ def convert_predictor(npz) -> dict:
             raise SystemExit(f"npz is missing head conv {name}")
     variables = {"params": params}
     if any(key.split("/", 1)[0] not in head_layers for key in npz.files):
-        backbone = convert_mobilenetv3(npz)
+        if "Conv/kernel:0" in npz.files:          # MobileNetV3 stem
+            backbone = convert_mobilenetv3(npz)
+        elif "stem_conv/kernel:0" in npz.files:   # EfficientNetV2-S stem
+            backbone = convert_efficientnet_v2s(npz)
+        else:
+            raise SystemExit("unrecognized backbone layers in predictor dump")
         params["backbone"] = backbone["params"]
         variables["batch_stats"] = {"backbone": backbone["batch_stats"]}
     return variables
@@ -206,6 +377,8 @@ def convert_predictor(npz) -> dict:
 CONVERTERS = {
     "vgg16": convert_vgg16,
     "mobilenetv3": convert_mobilenetv3,
+    "efficientnet_b3": convert_efficientnet_b3,
+    "efficientnet_v2s": convert_efficientnet_v2s,
     "transfer": convert_transfer,
     "predictor": convert_predictor,
 }
@@ -216,10 +389,19 @@ def main():
     p.add_argument("backbone", choices=sorted(CONVERTERS))
     p.add_argument("npz_path", type=Path)
     p.add_argument("output", type=Path, help="orbax checkpoint dir to write")
+    p.add_argument("--imagenet_rescale", action="store_true",
+                   help="efficientnet_b3 only: the dump came from a "
+                        "weights='imagenet' build, fold the Keras graph's "
+                        "1/sqrt(IMAGENET_STDDEV_RGB) constant into the "
+                        "normalization variance")
     args = p.parse_args()
 
     npz = np.load(args.npz_path)
-    variables = CONVERTERS[args.backbone](npz)
+    if args.backbone == "efficientnet_b3":
+        variables = convert_efficientnet_b3(
+            npz, imagenet_rescale=args.imagenet_rescale)
+    else:
+        variables = CONVERTERS[args.backbone](npz)
 
     import orbax.checkpoint as ocp
 

@@ -195,6 +195,7 @@ def cmd_predictor(args) -> None:
     extractor = {
         "dummy": StyleFeatureExtractor.DUMMY,
         "mobilenet": StyleFeatureExtractor.MOBILE_NET,
+        "efficientnet": StyleFeatureExtractor.EFFICIENT_NET,
     }[args.extractor]
     input_shape = (args.height, args.width, 3)
     model = create_style_prediction_model(input_shape, extractor, args.num_top)
@@ -209,27 +210,83 @@ def cmd_predictor(args) -> None:
         "num_top": np.int64(args.num_top),
         "extractor": np.bytes_(args.extractor.encode()),
     }
-    if args.extractor == "mobilenet":
-        # Random-init MobileNet features collapse to ~1e-9, so the end-to-end
-        # output is bias-dominated; dump backbone taps (the loss model's tap
-        # layers, styleLoss.py:160-169) + final features for a meaningful
-        # relative-tolerance comparison.
+    if args.extractor in ("mobilenet", "efficientnet"):
+        # Random-init backbone features collapse to tiny magnitudes, so the
+        # end-to-end output is bias-dominated; dump backbone taps (the loss
+        # model's tap layers, styleLoss.py:160-169 / the V2-S stage ends)
+        # + final features for a meaningful relative-tolerance comparison.
         import tensorflow as tf
 
+        needle = "obilenet" if args.extractor == "mobilenet" else "fficientnet"
         backbone = next(
             layer for layer in model.layers
-            if isinstance(layer, tf.keras.Model) and "obilenet" in layer.name
+            if isinstance(layer, tf.keras.Model) and needle in layer.name
         )
-        tap_names = [
-            "expanded_conv_2/Add", "expanded_conv_4/Add", "expanded_conv_5/Add",
-            "expanded_conv_7/Add", "expanded_conv_9/Add", "expanded_conv_10/Add",
-        ]
+        if args.extractor == "mobilenet":
+            tap_names = [
+                "expanded_conv_2/Add", "expanded_conv_4/Add",
+                "expanded_conv_5/Add", "expanded_conv_7/Add",
+                "expanded_conv_9/Add", "expanded_conv_10/Add",
+            ]
+        else:
+            tap_names = ["block1b_add", "block2d_add", "block3d_add",
+                         "block4f_add", "block5i_add"]
         outputs = {n: backbone.get_layer(n).output for n in tap_names}
         outputs["features"] = backbone.output
         tap_model = tf.keras.Model(backbone.input, outputs)
         taps = tap_model(image * 2.0 - 1.0, training=False)
         for name, value in taps.items():
             io[f"tap/{name}"] = np.asarray(value, dtype=np.float32)
+    _save(Path(args.out), weights, io)
+
+
+# --------------------------------------------------------------------------
+# EfficientNetB3 loss-tower tap dump
+# --------------------------------------------------------------------------
+
+def cmd_efficientnet_b3(args) -> None:
+    """Reference ``StyleLossModelEfficientNet`` taps (``styleLoss.py:112-152``).
+
+    The reference as written does not construct under ANY Keras that ships v1
+    EfficientNet: ``efficientnet.EfficientNetB3`` never grew the v2 family's
+    ``include_preprocessing`` kwarg, so ``styleLoss.py:135-137`` raises
+    ``TypeError`` (bit-rot; TF 2.9 and today's tf_keras alike).  The minimal
+    shim that makes it run is dropping the unsupported kwarg — which means the
+    v1 graph's baked-in ``Rescaling(1/255)`` + ``Normalization`` stay, exactly
+    what ``models.backbones.efficientnet.EfficientNetB3`` mirrors.
+    """
+    _import_reference()
+    _patch_applications_random_init()
+    import tensorflow as tf
+
+    apps = tf.keras.applications
+    orig = apps.efficientnet.EfficientNetB3
+
+    def shimmed(*a, **kw):
+        kw.pop("include_preprocessing", None)
+        return orig(*a, **kw)
+
+    apps.efficientnet.EfficientNetB3 = shimmed
+    from realtime_style_transfer.models.styleLoss import (
+        StyleLossModelEfficientNet,
+    )
+
+    input_shape = (args.height, args.width, 3)
+    model = StyleLossModelEfficientNet(input_shape)
+    fe = model.feature_extractor
+    weights = {w.name: w.numpy() for layer in fe.layers for w in layer.weights}
+
+    rng = np.random.default_rng(args.seed)
+    image = rng.uniform(size=(2,) + input_shape).astype(np.float32)
+    # feature_extractor's input is the raw B3 input; the loss model's call
+    # applies Rescaling(2, -1) first (styleLoss.py:149-152)
+    taps = fe(image * 2.0 - 1.0, training=False)
+    io = {"image": image,
+          "style_layers": np.bytes_("\n".join(model.style_layers).encode()),
+          "content_layers": np.bytes_(
+              "\n".join(model.content_layers).encode())}
+    for name, value in taps.items():
+        io[f"tap/{name}"] = np.asarray(value, dtype=np.float32)
     _save(Path(args.out), weights, io)
 
 
@@ -337,9 +394,18 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=7)
     p.set_defaults(func=cmd_transfer)
 
+    p = sub.add_parser("efficientnet_b3")
+    p.add_argument("--out", required=True)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--width", type=int, default=192)
+    p.add_argument("--seed", type=int, default=7)
+    p.set_defaults(func=cmd_efficientnet_b3)
+
     p = sub.add_parser("predictor")
     p.add_argument("--out", required=True)
-    p.add_argument("--extractor", choices=("dummy", "mobilenet"), default="dummy")
+    p.add_argument("--extractor",
+                   choices=("dummy", "mobilenet", "efficientnet"),
+                   default="dummy")
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--width", type=int, default=96)
     p.add_argument("--num-top", type=int, default=182)
