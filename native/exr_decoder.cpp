@@ -4,7 +4,8 @@
 // (/root/reference/realtime_style_transfer/dataloaders/hdrScreenshots.py:7,18)
 // with first-party code sized for the Unreal G-buffer use case:
 //   * single-part scanline images, INCREASING_Y or DECREASING_Y line order
-//   * compressions: NONE, RLE, ZIPS, ZIP (zlib)  [PIZ/B44/DWA -> clear error]
+//   * compressions: NONE, RLE, ZIPS, ZIP (zlib), PIZ (wavelet + Huffman)
+//     [PXR24/B44/DWA -> clear error]
 //   * pixel types: HALF, FLOAT, UINT (all converted to float32)
 //
 // C API (ctypes-friendly), two-call protocol:
@@ -205,9 +206,386 @@ int lines_per_block(uint8_t compression) {
       return 1;
     case 3:  // ZIP
       return 16;
+    case 4:  // PIZ
+      return 32;
     default:
-      return -1;  // PIZ(4)/PXR24(5)/B44(6)/B44A(7)/DWAA(8)/DWAB(9) unsupported
+      return -1;  // PXR24(5)/B44(6)/B44A(7)/DWAA(8)/DWAB(9) unsupported
   }
+}
+
+// ---------------------------------------------------------------------------
+// PIZ decompression (wavelet + Huffman), per the OpenEXR 2.0 format spec.
+// Implements the spec'd bitstream exactly: bitmap-indexed LUT, canonical
+// Huffman with the 6-bit packed length table and the iM run-length
+// pseudo-symbol, and the 2D modulo/14-bit wavelet.  The matching first-party
+// *encoder* lives in realtime_style_transfer_tpu/data/exr.py (fixture
+// generation + round-trip tests).
+// ---------------------------------------------------------------------------
+
+constexpr int kBitmapSize = 8192;            // 65536 values / 8 bits
+constexpr int kUshortRange = 1 << 16;
+constexpr int kHufEncSize = kUshortRange + 1;  // data symbols + RLE pseudo
+constexpr int kHufDecBits = 14;
+constexpr int kHufDecSize = 1 << kHufDecBits;
+constexpr int kHufDecMask = kHufDecSize - 1;
+constexpr int kShortZerocodeRun = 59;
+constexpr int kLongZerocodeRun = 63;
+constexpr int kShortestLongRun = 2 + kLongZerocodeRun - kShortZerocodeRun;
+
+inline int huf_length(uint64_t code) { return static_cast<int>(code & 63); }
+inline uint64_t huf_code(uint64_t code) { return code >> 6; }
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t c = 0;
+  int lc = 0;
+  uint64_t get_bits(int n) {
+    while (lc < n) {
+      c = (c << 8) | (p < end ? *p++ : 0);
+      lc += 8;
+    }
+    lc -= n;
+    return (c >> lc) & ((1ULL << n) - 1);
+  }
+};
+
+// 6-bit-packed canonical code-length table -> per-symbol (code<<6)|length.
+// *consumed reports the bytes the bit reader advanced over: the bitstream
+// begins at the next byte (the reference reader ignores the stored
+// tableLength field and does exactly this).
+int huf_unpack_enc_table(const uint8_t* table, size_t table_len, int im,
+                         int iM, std::vector<uint64_t>* hcode,
+                         size_t* consumed) {
+  hcode->assign(kHufEncSize, 0);
+  BitReader br{table, table + table_len};
+  for (; im <= iM; im++) {
+    uint64_t l = (*hcode)[im] = br.get_bits(6);
+    if (l == kLongZerocodeRun) {
+      int zerun = static_cast<int>(br.get_bits(8)) + kShortestLongRun;
+      if (im + zerun > iM + 1) return fail("PIZ: bad long zero run");
+      while (zerun--) (*hcode)[im++] = 0;
+      im--;
+    } else if (l >= kShortZerocodeRun) {
+      int zerun = static_cast<int>(l) - kShortZerocodeRun + 2;
+      if (im + zerun > iM + 1) return fail("PIZ: bad short zero run");
+      while (zerun--) (*hcode)[im++] = 0;
+      im--;
+    }
+  }
+  if (br.p > br.end) return fail("PIZ: truncated code table");
+  *consumed = static_cast<size_t>(br.p - table);
+  // canonical code assignment (lengths -> numerically increasing codes)
+  uint64_t n[59] = {0};
+  for (int i = 0; i < kHufEncSize; ++i) n[(*hcode)[i] & 63] += 1;
+  uint64_t c = 0;
+  for (int i = 58; i > 0; --i) {
+    uint64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < kHufEncSize; ++i) {
+    int l = static_cast<int>((*hcode)[i]);
+    if (l > 0) (*hcode)[i] = static_cast<uint64_t>(l) | (n[l]++ << 6);
+  }
+  return 0;
+}
+
+struct HufDecSlot {
+  int len = 0;              // code length if a short (<= kHufDecBits) code
+  int lit = 0;              // symbol for short codes
+  std::vector<int> longs;   // candidate symbols for long codes
+};
+
+int huf_build_dec_table(const std::vector<uint64_t>& hcode, int im, int iM,
+                        std::vector<HufDecSlot>* hdecod) {
+  hdecod->assign(kHufDecSize, HufDecSlot{});
+  for (; im <= iM; im++) {
+    uint64_t c = huf_code(hcode[im]);
+    int l = huf_length(hcode[im]);
+    if (l == 0) continue;
+    if (c >> l) return fail("PIZ: invalid table entry");
+    if (l > kHufDecBits) {
+      HufDecSlot& pl = (*hdecod)[c >> (l - kHufDecBits)];
+      if (pl.len) return fail("PIZ: invalid table entry (long under short)");
+      pl.longs.push_back(im);
+    } else {
+      HufDecSlot* pl = hdecod->data() + (c << (kHufDecBits - l));
+      for (uint64_t i = 1ULL << (kHufDecBits - l); i > 0; i--, pl++) {
+        if (pl->len || !pl->longs.empty())
+          return fail("PIZ: invalid table entry (overlap)");
+        pl->len = l;
+        pl->lit = im;
+      }
+    }
+  }
+  return 0;
+}
+
+// Emit one decoded symbol; symbol == rlc repeats the previous output.
+inline int huf_emit(int symbol, int rlc, uint64_t& c, int& lc,
+                    const uint8_t*& in, const uint8_t* ie, uint16_t*& out,
+                    uint16_t* outb, uint16_t* oe) {
+  if (symbol == rlc) {
+    if (lc < 8) {
+      if (in >= ie) return fail("PIZ: truncated run length");
+      c = (c << 8) | *in++;
+      lc += 8;
+    }
+    lc -= 8;
+    int cs = static_cast<int>((c >> lc) & 0xff);
+    if (out + cs > oe) return fail("PIZ: run overrun");
+    if (out == outb) return fail("PIZ: run with no previous symbol");
+    uint16_t s = out[-1];
+    while (cs-- > 0) *out++ = s;
+  } else if (out < oe) {
+    *out++ = static_cast<uint16_t>(symbol);
+  } else {
+    return fail("PIZ: output overrun");
+  }
+  return 0;
+}
+
+int huf_decode(const std::vector<uint64_t>& hcode,
+               const std::vector<HufDecSlot>& hdecod, const uint8_t* in,
+               int64_t ni_bits, int rlc, size_t n_out, uint16_t* out) {
+  uint64_t c = 0;
+  int lc = 0;
+  uint16_t* outb = out;
+  uint16_t* oe = out + n_out;
+  const uint8_t* ie = in + (ni_bits + 7) / 8;
+
+  while (in < ie) {
+    c = (c << 8) | *in++;
+    lc += 8;
+    while (lc >= kHufDecBits) {
+      const HufDecSlot& pl = hdecod[(c >> (lc - kHufDecBits)) & kHufDecMask];
+      if (pl.len) {
+        lc -= pl.len;
+        if (huf_emit(pl.lit, rlc, c, lc, in, ie, out, outb, oe) != 0)
+          return -1;
+      } else {
+        if (pl.longs.empty()) return fail("PIZ: invalid code");
+        size_t j = 0;
+        for (; j < pl.longs.size(); j++) {
+          int l = huf_length(hcode[pl.longs[j]]);
+          while (lc < l && in < ie) {
+            c = (c << 8) | *in++;
+            lc += 8;
+          }
+          if (lc >= l &&
+              huf_code(hcode[pl.longs[j]]) ==
+                  ((c >> (lc - l)) & ((1ULL << l) - 1))) {
+            lc -= l;
+            if (huf_emit(pl.longs[j], rlc, c, lc, in, ie, out, outb, oe) != 0)
+              return -1;
+            break;
+          }
+        }
+        if (j == pl.longs.size()) return fail("PIZ: unmatched long code");
+      }
+    }
+  }
+
+  int i = static_cast<int>((8 - ni_bits) & 7);
+  c >>= i;
+  lc -= i;
+  while (lc > 0) {
+    const HufDecSlot& pl = hdecod[(c << (kHufDecBits - lc)) & kHufDecMask];
+    if (!pl.len) return fail("PIZ: invalid trailing code");
+    lc -= pl.len;
+    if (huf_emit(pl.lit, rlc, c, lc, in, ie, out, outb, oe) != 0) return -1;
+  }
+
+  if (out - outb != static_cast<ptrdiff_t>(n_out))
+    return fail("PIZ: decoded symbol count mismatch");
+  return 0;
+}
+
+int huf_uncompress(const uint8_t* data, size_t n, uint16_t* raw,
+                   size_t n_raw) {
+  if (n == 0) return n_raw == 0 ? 0 : fail("PIZ: empty huf data");
+  if (n < 20) return fail("PIZ: truncated huf header");
+  uint32_t im, iM, nbits;
+  std::memcpy(&im, data, 4);
+  std::memcpy(&iM, data + 4, 4);
+  std::memcpy(&nbits, data + 12, 4);  // data+8 = packed table length (unused)
+  if (im >= kHufEncSize || iM >= kHufEncSize || im > iM)
+    return fail("PIZ: bad huf symbol range");
+  const uint8_t* table = data + 20;
+  std::vector<uint64_t> hcode;
+  size_t table_consumed = 0;
+  if (huf_unpack_enc_table(table, n - 20, static_cast<int>(im),
+                           static_cast<int>(iM), &hcode,
+                           &table_consumed) != 0)
+    return -1;
+  const uint8_t* bits = table + table_consumed;
+  if (nbits > 8 * (n - 20 - table_consumed))
+    return fail("PIZ: bitstream overruns chunk");
+  std::vector<HufDecSlot> hdecod;
+  if (huf_build_dec_table(hcode, static_cast<int>(im), static_cast<int>(iM),
+                          &hdecod) != 0)
+    return -1;
+  return huf_decode(hcode, hdecod, bits, nbits, static_cast<int>(iM), n_raw,
+                    raw);
+}
+
+inline void wdec14(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int16_t ls = static_cast<int16_t>(l);
+  int16_t hs = static_cast<int16_t>(h);
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = static_cast<int16_t>(ai);
+  int16_t bs = static_cast<int16_t>(ai - hi);
+  a = static_cast<uint16_t>(as);
+  b = static_cast<uint16_t>(bs);
+}
+
+inline void wdec16(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  constexpr int kMod = (1 << 16) - 1;
+  constexpr int kAOff = 1 << 15;
+  int m = l;
+  int d = h;
+  int bb = (m - (d >> 1)) & kMod;
+  int aa = (d + bb - kAOff) & kMod;
+  b = static_cast<uint16_t>(bb);
+  a = static_cast<uint16_t>(aa);
+}
+
+void wav2_decode(uint16_t* in, int nx, int ox, int ny, int oy, uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = (nx > ny) ? ny : nx;
+  int p = 1;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  int p2 = p;
+  p >>= 1;
+
+  while (p >= 1) {
+    uint16_t* py = in;
+    uint16_t* ey = in + static_cast<ptrdiff_t>(oy) * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2;
+    int ox1 = ox * p, ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + static_cast<ptrdiff_t>(ox) * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wdec14(*px, *p10, i00, i10);
+          wdec14(*p01, *p11, i01, i11);
+          wdec14(i00, i01, *px, *p01);
+          wdec14(i10, i11, *p10, *p11);
+        } else {
+          wdec16(*px, *p10, i00, i10);
+          wdec16(*p01, *p11, i01, i11);
+          wdec16(i00, i01, *px, *p01);
+          wdec16(i10, i11, *p10, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wdec14(*px, *p10, i00, *p10);
+        else
+          wdec16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + static_cast<ptrdiff_t>(ox) * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wdec14(*px, *p01, i00, *p01);
+        else
+          wdec16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+int piz_uncompress(const ExrHeader& hdr, const uint8_t* data, size_t comp_size,
+                   int lines, size_t raw_size, std::vector<uint8_t>* out) {
+  const int width = hdr.width();
+  if (comp_size < 4) return fail("PIZ: truncated chunk");
+  uint16_t min_nz, max_nz;
+  std::memcpy(&min_nz, data, 2);
+  std::memcpy(&max_nz, data + 2, 2);
+  size_t pos = 4;
+  std::vector<uint8_t> bitmap(kBitmapSize, 0);
+  if (max_nz >= kBitmapSize) return fail("PIZ: bitmap range out of bounds");
+  if (min_nz <= max_nz) {
+    size_t nbytes = static_cast<size_t>(max_nz) - min_nz + 1;
+    if (pos + nbytes > comp_size) return fail("PIZ: truncated bitmap");
+    std::memcpy(bitmap.data() + min_nz, data + pos, nbytes);
+    pos += nbytes;
+  }
+
+  // reverse LUT: compressed index -> original value
+  std::vector<uint16_t> lut(kUshortRange, 0);
+  int k = 0;
+  for (int i = 0; i < kUshortRange; ++i)
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7))))
+      lut[k++] = static_cast<uint16_t>(i);
+  uint16_t max_value = static_cast<uint16_t>(k - 1);
+
+  if (pos + 4 > comp_size) return fail("PIZ: truncated huf length");
+  int32_t huf_len;
+  std::memcpy(&huf_len, data + pos, 4);
+  pos += 4;
+  if (huf_len < 0 || pos + static_cast<size_t>(huf_len) > comp_size)
+    return fail("PIZ: huf data overruns chunk");
+
+  size_t n_ushorts = raw_size / 2;
+  std::vector<uint16_t> tmp(n_ushorts);
+  if (huf_uncompress(data + pos, static_cast<size_t>(huf_len), tmp.data(),
+                     n_ushorts) != 0)
+    return -1;
+
+  // per-channel, per-16-bit-component wavelet decode (FLOAT/UINT channels
+  // travel as 2 interleaved ushort planes)
+  size_t start = 0;
+  for (const auto& ch : hdr.channels) {
+    int size = static_cast<int>(ch.byte_size() / 2);
+    for (int j = 0; j < size; ++j)
+      wav2_decode(tmp.data() + start + j, width, size, lines, width * size,
+                  max_value);
+    start += static_cast<size_t>(width) * lines * size;
+  }
+  if (start != n_ushorts) return fail("PIZ: channel size mismatch");
+
+  for (size_t i = 0; i < n_ushorts; ++i) tmp[i] = lut[tmp[i]];
+
+  // interleave channel-major planes back to scanline order
+  out->resize(raw_size);
+  uint8_t* dst = out->data();
+  std::vector<size_t> cursor(hdr.channels.size());
+  size_t base = 0;
+  for (size_t c = 0; c < hdr.channels.size(); ++c) {
+    cursor[c] = base;
+    base += static_cast<size_t>(width) * lines *
+            (hdr.channels[c].byte_size() / 2);
+  }
+  for (int line = 0; line < lines; ++line) {
+    for (size_t c = 0; c < hdr.channels.size(); ++c) {
+      size_t n = static_cast<size_t>(width) * (hdr.channels[c].byte_size() / 2);
+      std::memcpy(dst, tmp.data() + cursor[c], n * 2);
+      dst += n * 2;
+      cursor[c] += n;
+    }
+  }
+  return 0;
 }
 
 // EXR zlib/rle post-decode: undo the delta predictor, then de-interleave.
@@ -246,13 +624,15 @@ int rle_decode(const uint8_t* src, size_t src_len, std::vector<uint8_t>* dst) {
 }
 
 int decode_block(const ExrHeader& hdr, const uint8_t* data, size_t comp_size,
-                 size_t raw_size, std::vector<uint8_t>* out) {
+                 size_t raw_size, int lines, std::vector<uint8_t>* out) {
   out->clear();
   if (comp_size == raw_size || hdr.compression == 0) {
     // Stored uncompressed (writers fall back when compression doesn't help).
     out->assign(data, data + comp_size);
     return 0;
   }
+  if (hdr.compression == 4)  // PIZ
+    return piz_uncompress(hdr, data, comp_size, lines, raw_size, out);
   if (hdr.compression == 1) {  // RLE
     out->reserve(raw_size);
     if (rle_decode(data, comp_size, out) != 0) return -1;
@@ -281,7 +661,9 @@ int load(const char* path, ExrHeader* hdr, float* out /* may be null */) {
   if (lpb < 0)
     return fail("unsupported compression code " +
                 std::to_string(hdr->compression) +
-                " (only NONE/RLE/ZIPS/ZIP)");
+                " (only NONE/RLE/ZIPS/ZIP/PIZ); re-encode the file with ZIP "
+                "(e.g. 'oiiotool in.exr --compression zip -o out.exr'; "
+                "Unreal's EXR dumps default to ZIP)");
 
   const int width = hdr->width(), height = hdr->height();
   const int nchan = static_cast<int>(hdr->channels.size());
@@ -310,7 +692,7 @@ int load(const char* path, ExrHeader* hdr, float* out /* may be null */) {
     if (block_y0 < 0 || lines <= 0) return fail("chunk y out of range");
     size_t raw_size = bytes_per_scanline * static_cast<size_t>(lines);
     if (decode_block(*hdr, data, static_cast<size_t>(comp_size), raw_size,
-                     &block) != 0)
+                     lines, &block) != 0)
       return -1;
     if (block.size() != raw_size) return fail("decoded block size mismatch");
 

@@ -12,9 +12,9 @@ OUT=/tmp/prewarm_train.log
 : > "$OUT"
 run_arm () {
   local label="$1"; shift
-  for attempt in 1 2 3 4 5; do
+  for attempt in 1 2; do
     echo "=== $label attempt $attempt $(date +%T) ===" >> "$OUT"
-    if timeout 570 python tools/bench_train_step.py "$@" >> "$OUT" 2>&1; then
+    if timeout 3500 python tools/bench_train_step.py "$@" >> "$OUT" 2>&1; then
       echo "=== $label OK ===" >> "$OUT"
       return 0
     fi
