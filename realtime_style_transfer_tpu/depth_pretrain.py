@@ -155,6 +155,75 @@ def correlation(a: np.ndarray, b: np.ndarray) -> float:
     return float((a * b).sum() / denom) if denom > 0 else 0.0
 
 
+def spearman_correlation(a: np.ndarray, b: np.ndarray) -> float:
+    """Spearman rank correlation — the depth ORDERING metric (invariant to
+    any monotone calibration of either map).
+
+    A (near-)constant input scores 0: stable argsort of a flat array yields
+    raster-order ranks, which would otherwise correlate spuriously with any
+    smooth depth gradient (a constant predictor must not pass the gate).
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.std() < 1e-12 * (1.0 + np.abs(a.mean())):
+        return 0.0
+    if b.std() < 1e-12 * (1.0 + np.abs(b.mean())):
+        return 0.0
+
+    def ranks(x: np.ndarray) -> np.ndarray:
+        order = np.argsort(x.ravel(), kind="stable")
+        r = np.empty(order.size, np.float64)
+        r[order] = np.arange(order.size, dtype=np.float64)
+        return r
+
+    return correlation(ranks(a), ranks(b))
+
+
+def aligned_rmse(pred: np.ndarray, target: np.ndarray) -> float:
+    """RMSE after least-squares scale/shift alignment of pred to target —
+    the MiDaS evaluation protocol (affine-invariant disparity error; Ranftl
+    et al. 2020 §4) applied to the normalized inverse-depth maps this stack
+    trains on.  0 = perfect up to an affine map; 1-ish = uninformative."""
+    p = np.asarray(pred, np.float64).ravel()
+    t = np.asarray(target, np.float64).ravel()
+    var = p.var()
+    if var <= 0:
+        return float(np.sqrt(np.mean((t - t.mean()) ** 2)))
+    s = ((p - p.mean()) * (t - t.mean())).mean() / var
+    b = t.mean() - s * p.mean()
+    return float(np.sqrt(np.mean((s * p + b - t) ** 2)))
+
+
+def evaluate_depth_checkpoint(variables, pairs) -> dict:
+    """Score a MidasLite checkpoint against (rgb, target) pairs.
+
+    Returns per-metric means over the pairs: ``spearman`` (rank agreement
+    with the SceneDepth-derived target), ``pearson``, and ``aligned_rmse``
+    (MiDaS-protocol affine-aligned error).  This is the quantitative bar the
+    bundled checkpoint is gated on (tests/test_depth_pretrain.py) and what
+    ``tools/pretrain_depth.py`` reports before saving.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.depth import MidasLite
+
+    model = MidasLite(base_filters=depth_base_filters(variables))
+    apply = jax.jit(lambda imgs: model.apply(variables, imgs))
+    sp, pe, rm = [], [], []
+    for rgb, target in pairs:
+        pred = np.asarray(apply(jnp.asarray(rgb[None])))[0]
+        sp.append(spearman_correlation(pred, target))
+        pe.append(correlation(pred, target))
+        rm.append(aligned_rmse(pred, target))
+    return {
+        "spearman": float(np.mean(sp)),
+        "pearson": float(np.mean(pe)),
+        "aligned_rmse": float(np.mean(rm)),
+        "n": len(sp),
+    }
+
+
 def pretrain(
     training_paths: Sequence[Path],
     validation_paths: Sequence[Path],

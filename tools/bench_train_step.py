@@ -84,8 +84,11 @@ def main() -> None:
     # ONE executable for both scan lengths (bench.py's trick): the trip count
     # is a runtime fori_loop bound, so the expensive fwd+bwd VGG graph
     # compiles once instead of once per K — keeps a cold-cache run inside the
-    # driver's timeout-570 budget.
-    def steps(state, k):
+    # driver's timeout-570 budget.  The batch is a jit ARGUMENT, not a
+    # closure: captured concrete arrays embed as HLO literals, and at batch 8
+    # the ~250 MB constant blows the tunnel's remote_compile body limit
+    # (HTTP 413) — found r5; this also shrinks every compile payload.
+    def steps(state, batch, k):
         def body(_, carry):
             st, _loss = carry
             new_state, metrics = tm.train_step(st, batch)
@@ -99,20 +102,20 @@ def main() -> None:
 
     t0 = time.time()
     for k in args.k:
-        float(jax.device_get(jitted(state, k)))
+        float(jax.device_get(jitted(state, batch, k)))
     print(f"warm-up/compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     if args.trace:
         from realtime_style_transfer_tpu.tracing.profiler import trace
         with trace(args.trace):
-            float(jax.device_get(jitted(state, args.k[0])))
+            float(jax.device_get(jitted(state, batch, args.k[0])))
         print(f"trace written to {args.trace}", file=sys.stderr)
 
     def best(k):
         best_t = float("inf")
         for _ in range(args.trials):
             t0 = time.perf_counter()
-            float(jax.device_get(jitted(state, k)))
+            float(jax.device_get(jitted(state, batch, k)))
             best_t = min(best_t, time.perf_counter() - t0)
         return best_t
 

@@ -37,6 +37,7 @@ import sys
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from realtime_style_transfer_tpu.depth_pretrain import (  # noqa: E402
+    evaluate_depth_checkpoint,
     pretrain,
     pretrain_on_pairs,
     save_depth_checkpoint,
@@ -61,6 +62,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min_spearman", type=float, default=None,
+                   help="quality gate: refuse to save unless the trained "
+                        "net's mean Spearman rank correlation against the "
+                        "validation SceneDepth targets clears this bar "
+                        "(the committed checkpoint scores ~0.89 held-out)")
     args = p.parse_args()
     logsetup.setup()
 
@@ -82,14 +88,28 @@ def main():
         pairs = synthetic_depth_pairs(
             args.synthetic, args.resolution, seed=args.seed)
         n_val = max(1, len(pairs) // 10)
+        val_pairs = pairs[:n_val]
         variables, history = pretrain_on_pairs(
-            pairs[n_val:], pairs[:n_val], **common)
+            pairs[n_val:], val_pairs, **common)
     else:
         from realtime_style_transfer_tpu.data.imaging import list_image_paths
+        from realtime_style_transfer_tpu.depth_pretrain import load_depth_pairs
 
         train_paths = list_image_paths(args.content_dir / "training")
         val_paths = list_image_paths(args.content_dir / "validation")
         variables, history = pretrain(train_paths, val_paths, **common)
+        val_pairs = list(load_depth_pairs(val_paths, args.resolution))
+
+    scores = evaluate_depth_checkpoint(variables, val_pairs)
+    print(
+        f"quality vs validation SceneDepth: spearman {scores['spearman']:.4f}"
+        f", pearson {scores['pearson']:.4f}, aligned_rmse "
+        f"{scores['aligned_rmse']:.4f} over {scores['n']} scenes"
+    )
+    if args.min_spearman is not None and scores["spearman"] < args.min_spearman:
+        raise SystemExit(
+            f"quality gate failed: spearman {scores['spearman']:.4f} < "
+            f"--min_spearman {args.min_spearman}; not saving {args.output}")
     save_depth_checkpoint(variables, args.output)
     print(
         f"saved {args.output}; val correlation "
