@@ -262,6 +262,31 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             modes["dual_bf16"] = {"error": repr(exc)[:200]}
 
+        try:  # divider-1 full resolution (960x1920) on the two-segment kernel
+            from realtime_style_transfer_tpu.models.inference import (
+                make_inference_model as _mk,
+            )
+
+            cfg19 = ShapeConfig.from_spec("rst-1920-120-128-17")
+            plan19 = plan_from_config(cfg19)
+            model19 = _mk(cfg19, dtype=jnp.bfloat16)
+            rng19 = jax.random.PRNGKey(7)
+            c19 = jax.random.uniform(
+                rng19, (1,) + cfg19.content_shape, jnp.float32)
+            s19 = jax.random.uniform(
+                rng19, (1,) + cfg19.style_shape, jnp.float32)
+            v19 = jax.jit(model19.init, static_argnames=("train",))(
+                rng19, c19, s19, train=False)
+            sp19 = jax.jit(
+                lambda v, s: model19.apply(
+                    v, s, method=model19.predict_style_params))(v19, s19)
+            ft19 = FusedTransfer(jax.device_get(v19), plan19)
+            prep19 = ft19.prepare_style(sp19)
+            in19 = jnp.asarray(ft19.pack_frame_np(np.asarray(c19)))
+            modes["rst1920_bf16"] = measure_fused(ft19, prep19, in19)
+        except Exception as exc:  # noqa: BLE001
+            modes["rst1920_bf16"] = {"error": repr(exc)[:200]}
+
     print(
         json.dumps(
             {

@@ -402,10 +402,13 @@ def main():
 
     if path == "auto":
         fused_ok = (
-            plan.num_contract_blocks == 2 and plan.num_expand_blocks == 2
-            and (plan.input_shape[1] // 4) % 8 == 0
+            (plan.num_contract_blocks, plan.num_expand_blocks) in
+            ((2, 2), (3, 3))
+            and (plan.input_shape[1] // (4 * plan.num_contract_blocks - 4))
+            % 8 == 0
             and plan.bottleneck_num_filters <= 128
-            and config.num_styles <= 2
+            and config.num_styles <= (1 if plan.num_contract_blocks == 3
+                                      else 2)
             and jax.devices()[0].platform not in ("cpu",)
         )
         path = "fused" if fused_ok else "packed"

@@ -268,12 +268,23 @@ class _Stage:
     # CIN stats of THIS stage's output:
     stats: bool = False
     style_slot: int = -1           # row in the style table
-    group: Optional[str] = None    # None | 'e0' | 'e1' | 'fin'
+    group: Optional[str] = None    # None | 'e0' | 'e1' | 'e2' | 'fin'
     n_per_channel: int = 0
     c_packed: int = 0              # real (unpadded) packed channel count
     # dual-style: which packed weight-mip buffer blends in_affine (by the
     # PRODUCER stage's resolution); ignored unless the kernel runs dual
     w_src: Optional[str] = None    # 'wB' | 'wE0' | 'wE1' | 'wFin'
+    # per-stage band grid (rst-1920 two-segment kernels mix a (H/4, W/4)
+    # content grid and a (H/8, W/8) bottleneck grid; flagship plans use one)
+    hp: int = 0
+    wp: int = 0
+    # grid-transition producer: 'fold2' re-lays the stage's (th, wp, cout)
+    # output band as (th/2, wp/2, 4*cout) bottleneck-grid f2 channels
+    # (two content-grid rows -> one bottleneck row); 'unfold2' is the inverse
+    # (bottleneck-f4 output -> content-grid f2 rows).  The column fold is a
+    # free row-major reshape; the row pairing is the sublane interleave
+    # formulation proven to lower in Mosaic (tools/probe_repack_ops.py).
+    repack: Optional[str] = None   # None | 'fold2' | 'unfold2'
 
 
 class FusedTransfer:
@@ -287,9 +298,17 @@ class FusedTransfer:
                  act_scales: Optional[np.ndarray] = None,
                  direct_ring: Optional[bool] = None,
                  wmip_resident: Optional[bool] = None):
-        if plan.num_contract_blocks != 2 or plan.num_expand_blocks != 2:
+        if (plan.num_contract_blocks, plan.num_expand_blocks) not in (
+                (2, 2), (3, 3)):
             raise ValueError("fused kernel supports the 2-contract/2-expand "
-                             "(flagship) family; use stylize_packed otherwise")
+                             "(flagship) and 3-contract/3-expand (divider-1) "
+                             "families; use stylize_packed otherwise")
+        # rst-1920 family (resolution_divider=1, reference shape_config.py:
+        # 14-15, block math styleTransfer.py:217,258): two-segment schedule —
+        # stem/c1/c2 + e2/final/finish on the (H/4, W/4) content grid,
+        # c3/res-core/e0/e1 on the (H/8, W/8) bottleneck grid, with the grid
+        # transitions folded into c2's and e1's output bands (_Stage.repack).
+        self.three_seg = plan.num_contract_blocks == 3
         if plan.bottleneck_num_filters > LANE:
             # the residual-skip ping-pong buffers and their DMA slices are
             # fixed at one LANE of channels
@@ -307,12 +326,21 @@ class FusedTransfer:
         # tools/bisect_fused.py); the stylized output is then meaningless.
         self.debug_stages = debug_stages
         h, w, self._c_in = plan.input_shape
-        self.hp, self.wp = h // 4, w // 4
-        if self.wp % 8:
-            raise ValueError(f"packed width {self.wp} must be a multiple of 8")
+        self.hp, self.wp = h // 4, w // 4          # content grid (f4)
+        if self.three_seg:
+            self.hp_s, self.wp_s = h // 8, w // 8  # bottleneck grid
+        else:
+            self.hp_s, self.wp_s = self.hp, self.wp
+        if self.wp % 8 or self.wp_s % 8:
+            raise ValueError(f"packed widths {self.wp}/{self.wp_s} must be "
+                             "multiples of 8")
         self.th = max(t for t in (8, 4, 2, 1) if self.hp % t == 0 and t <= 8)
-        if self.hp // self.th < 2:
+        if self.hp // self.th < 2 or self.hp_s < 4:
             raise ValueError("need at least 2 row bands")
+        if self.three_seg and num_styles != 1:
+            raise ValueError(
+                "dual-style is not yet supported on the 3-contract "
+                "(divider-1) fused kernel; use stylize_packed")
         # compact VMEM-resident wB plane needs 8-aligned window math
         self._wb_resident = self.dual and self.hp % 8 == 0
         # expand-resolution mips resident in VMEM (dual only; ~30 MB on the
@@ -374,7 +402,7 @@ class FusedTransfer:
         # but doubles the band height.
         SPLIT_BYTES = 2 * 2 ** 20
 
-        def add_conv(name, pk_meta, *, src, dst, bias,
+        def add_conv(name, pk_meta, *, src, dst, bias, grid,
                      contract_scale=None, contract_shift=None, **kw):
             pk, (lo_y, ph_e), (lo_x, pw_e), s = pk_meta
             assert s == 1, (name, s)
@@ -383,7 +411,8 @@ class FusedTransfer:
             b[:bias.size] = bias
             n_halves = (2 if pkp.size * 2 > SPLIT_BYTES
                         and pkp.shape[3] % (2 * LANE) == 0
-                        and not kw.get("stats") else 1)
+                        and not kw.get("stats")
+                        and kw.get("repack") is None else 1)
             half = pkp.shape[3] // n_halves
             for hi in range(n_halves):
                 kernels.append(
@@ -404,38 +433,74 @@ class FusedTransfer:
                     name=name if n_halves == 1 else f"{name}_n{hi}",
                     kind="conv", src=src, dst=dst,
                     cin=pkp.shape[2], cout=half, dst_c0=hi * half,
-                    lo_y=lo_y, ph=ph_e, lo_x=lo_x, pw=pw_e, **kw,
+                    lo_y=lo_y, ph=ph_e, lo_x=lo_x, pw=pw_e,
+                    hp=grid[0], wp=grid[1], **kw,
                 ))
             return n_halves
 
-        # --- contract stack (fin4 scheme: everything stride-1, (hp, wp)) ---
+        GL = (hp, wp)                        # content grid (f4)
+        GS = (self.hp_s, self.wp_s)          # bottleneck grid
+        n_px_s = self.hp_s * self.wp_s
+        three = self.three_seg
+
+        # --- contract stack (fin4 scheme: stride-1 on the content grid) ---
         k, b = conv_np("contract_0_conv")
         s_bn, b_bn = bn_affine("contract_0_bn")
         add_conv("stem", _np_packed_kernel(k, stride=1, fin=4, fout=4),
-                 src="content", dst="actA", bias=np.tile(b, 16), epi="contract",
+                 src="content", dst="actLA" if three else "actA", grid=GL,
+                 bias=np.tile(b, 16), epi="contract",
                  contract_scale=np.tile(s_bn, 16),
                  contract_shift=np.tile(b_bn, 16))
 
         k, b = conv_np("contract_1_conv")
         s_bn, b_bn = bn_affine("contract_1_bn")
         add_conv("c1", _np_packed_kernel(k, stride=2, fin=4, fout=2),
-                 src="actA", dst="actB", bias=np.tile(b, 4), epi="contract",
+                 src="actLA" if three else "actA",
+                 dst="actLB" if three else "actB", grid=GL,
+                 bias=np.tile(b, 4), epi="contract",
                  contract_scale=np.tile(s_bn, 4),
                  contract_shift=np.tile(b_bn, 4))
 
         k, b = conv_np("contract_2_conv")
         s_bn, b_bn = bn_affine("contract_2_bn")
-        add_conv("c2", _np_packed_kernel(k, stride=2, fin=2, fout=1),
-                 src="actB", dst="actA", bias=b, epi="contract",
-                 contract_scale=s_bn, contract_shift=b_bn)
+        if three:
+            # c2 stays on the content grid; its output band folds into the
+            # bottleneck grid's f2 layout (repack='fold2'): LANE-strided
+            # (row-parity, col-parity) channel blocks so c3's tap chunks
+            # stay skippable at MXU granularity.
+            add_conv("c2", _np_packed_kernel(k, stride=2, fin=2, fout=1),
+                     src="actLB", dst="actA", grid=GL, bias=b,
+                     epi="contract", contract_scale=s_bn,
+                     contract_shift=b_bn, repack="fold2")
+            k, b = conv_np("contract_3_conv")
+            s_bn, b_bn = bn_affine("contract_3_bn")
+            pk, pads_y, pads_x, s = _np_packed_kernel(
+                k, stride=2, fin=2, fout=1)
+            # expand the canonical compact f2 cin (4 * c_logical rows) to the
+            # fold2 layout's LANE-strided blocks (cin rows are host numpy)
+            c_log = k.shape[2]
+            wide = np.zeros(pk.shape[:2] + (4 * LANE, pk.shape[3]), pk.dtype)
+            for blk in range(4):
+                wide[:, :, blk * LANE:blk * LANE + c_log] = \
+                    pk[:, :, blk * c_log:(blk + 1) * c_log]
+            add_conv("c3", (wide, pads_y, pads_x, s),
+                     src="actA", dst="actB", grid=GS, bias=b,
+                     epi="contract", contract_scale=s_bn,
+                     contract_shift=b_bn)
+            cur = "actB"
+        else:
+            add_conv("c2", _np_packed_kernel(k, stride=2, fin=2, fout=1),
+                     src="actB", dst="actA", grid=GL, bias=b, epi="contract",
+                     contract_scale=s_bn, contract_shift=b_bn)
+            cur = "actA"
 
         # --- residual core ---------------------------------------------------
         style_slot = 0
         skip_names = ("skipA", "skipB")
-        cur = "actA"  # c2's dst
 
         def flip(cur):
-            return "actB" if cur == "actA" else "actA"
+            return {"actA": "actB", "actB": "actA",
+                    "actLA": "actLB", "actLB": "actLA"}[cur]
 
         for ri in range(NUM_RESIDUAL_BLOCKS):
             for ci in range(2):
@@ -451,42 +516,82 @@ class FusedTransfer:
                 add_conv(
                     f"res{ri}{'ab'[ci]}",
                     _np_packed_kernel(k, stride=1, fin=1, fout=1),
-                    src=src, dst=dst, bias=b, epi="relu",
+                    src=src, dst=dst, grid=GS, bias=b, epi="relu",
                     in_affine=ri + ci > 0, in_relu=not is_a,
                     skip_in=skip_in, skip_out=skip_out,
                     stats=True, style_slot=style_slot, group=None,
-                    n_per_channel=n_px, c_packed=filters, w_src="wB",
+                    n_per_channel=n_px_s, c_packed=filters, w_src="wB",
                 )
                 style_slot += 1
 
         # --- expand stack -----------------------------------------------------
         e0_f = plan.expand_blocks[0][0]
         e1_f = plan.expand_blocks[1][0]
-        fin_f = plan.expand_blocks[2][0]
+        fin_f = plan.expand_blocks[-1][0]
         k, b = conv_np("expand_0_conv")
         add_conv("e0", _np_transpose_kernel(k, fin=1, fout=2),
-                 src=cur, dst=flip(cur),
+                 src=cur, dst=flip(cur), grid=GS,
                  bias=np.tile(b, 4), epi="bias",
                  in_affine=True, in_relu=False,
                  skip_in=skip_names[NUM_RESIDUAL_BLOCKS % 2], skip_out=None,
                  stats=True, style_slot=style_slot, group="e0",
-                 n_per_channel=n_px * 4, c_packed=4 * e0_f, w_src="wB")
+                 n_per_channel=n_px_s * 4, c_packed=4 * e0_f, w_src="wB")
         style_slot += 1
 
         cur = flip(cur)
         k, b = conv_np("expand_1_conv")
-        add_conv("e1", _np_transpose_kernel(k, fin=2, fout=4),
-                 src=cur, dst=flip(cur),
-                 bias=np.tile(b, 16), epi="bias",
-                 in_affine=True, in_relu=True,
-                 stats=True, style_slot=style_slot, group="e1",
-                 n_per_channel=n_px * 16, c_packed=16 * e1_f, w_src="wE0")
-        style_slot += 1
+        e2_f = None
+        if three:
+            pk, pads_y, pads_x, s = _np_transpose_kernel(k, fin=2, fout=4)
+            # cout perm (fy,fx,c) -> (row-parity, col-parity, ey, ex, c): the
+            # unfold2 repack addresses (ry, rx) by lane slice / column unfold.
+            # The CIN machinery (group mats, style tiling, downstream affine
+            # consumption) is block-order invariant — per-channel values
+            # repeat per logical channel across parity blocks.
+            c = k.shape[3]
+            perm = np.empty(16 * c, np.int64)
+            d = 0
+            for ry in range(2):
+                for rx in range(2):
+                    for ey in range(2):
+                        for ex in range(2):
+                            sb = (ry * 2 + ey) * 4 + (rx * 2 + ex)
+                            perm[d * c:(d + 1) * c] = np.arange(
+                                sb * c, (sb + 1) * c)
+                            d += 1
+            add_conv("e1", (pk[..., perm], pads_y, pads_x, s),
+                     src=cur, dst="actLB", grid=GS,
+                     bias=np.tile(b, 16), epi="bias",
+                     in_affine=True, in_relu=True,
+                     stats=True, style_slot=style_slot, group="e1",
+                     n_per_channel=n_px_s * 16, c_packed=16 * e1_f,
+                     repack="unfold2")
+            style_slot += 1
+            cur = "actLB"
+            e2_f = plan.expand_blocks[2][0]
+            k, b = conv_np("expand_2_conv")
+            add_conv("e2", _np_transpose_kernel(k, fin=2, fout=4),
+                     src=cur, dst="actLA", grid=GL,
+                     bias=np.tile(b, 16), epi="bias",
+                     in_affine=True, in_relu=True,
+                     stats=True, style_slot=style_slot, group="e2",
+                     n_per_channel=n_px * 16, c_packed=16 * e2_f)
+            style_slot += 1
+            cur = "actLA"
+        else:
+            add_conv("e1", _np_transpose_kernel(k, fin=2, fout=4),
+                     src=cur, dst=flip(cur), grid=GS,
+                     bias=np.tile(b, 16), epi="bias",
+                     in_affine=True, in_relu=True,
+                     stats=True, style_slot=style_slot, group="e1",
+                     n_per_channel=n_px_s * 16, c_packed=16 * e1_f,
+                     w_src="wE0")
+            style_slot += 1
+            cur = flip(cur)
 
-        cur = flip(cur)
         k, b = conv_np(f"expand_{self.plan.num_expand_blocks}_conv")
         add_conv("final", _np_packed_kernel(k, stride=1, fin=4, fout=4),
-                 src=cur, dst=flip(cur),
+                 src=cur, dst=flip(cur), grid=GL,
                  bias=np.tile(b, 16), epi="bias",
                  in_affine=True, in_relu=True,
                  stats=True, style_slot=style_slot, group="fin",
@@ -498,6 +603,7 @@ class FusedTransfer:
             name="finish", kind="pointwise",
             src=cur, dst="out",
             cin=LANE, cout=LANE, epi="sigmoid", in_affine=True, w_src="wFin",
+            hp=hp, wp=wp,
         ))
 
         # group-combine matrices (logical-channel averaging across parities)
@@ -512,12 +618,14 @@ class FusedTransfer:
         self._g = {
             "e0": gmat(e0_f, 4, 4 * e0_f, LANE),
             "e1": gmat(e1_f, 16, 16 * e1_f, STATS_C),
-            "fin": gmat(fin_f, 16, 16 * fin_f, LANE),
         }
-        self._style_layout = (
-            [("res", filters, 1)] * 10
-            + [("e0", e0_f, 4), ("e1", e1_f, 16), ("fin", fin_f, 16)]
-        )
+        exp_layout = [("e0", e0_f, 4), ("e1", e1_f, 16)]
+        if three:
+            self._g["e2"] = gmat(e2_f, 16, 16 * e2_f, LANE)
+            exp_layout.append(("e2", e2_f, 16))
+        self._g["fin"] = gmat(fin_f, 16, 16 * fin_f, LANE)
+        exp_layout.append(("fin", fin_f, 16))
+        self._style_layout = [("res", filters, 1)] * 10 + exp_layout
         self.stages = tuple(stages)
         # Packed kernels are structurally sparse at two granularities, both
         # host-known and exactness-preserving to skip:
@@ -628,7 +736,7 @@ class FusedTransfer:
         return (self.direct and st.kind == "conv"
                 and not st.in_affine and not st.in_relu
                 and st.skip_in is None and st.skip_out is None
-                and not self.quant)
+                and st.repack is None and not self.quant)
 
     def _pick_th(self, si: int, st: _Stage, *, calibrate: bool = False,
                  check: bool = False) -> int:
@@ -643,7 +751,7 @@ class FusedTransfer:
         compiler scoped-alloc reports — 14 MB with the dual charges tripped
         the 16 MB scoped-VMEM limit by ~0.5 MB on the flagship, r3).
         """
-        hp, wp = self.hp, self.wp
+        hp, wp = st.hp, st.wp
         has_skip = st.skip_in is not None or st.skip_out is not None
         w_resident = (self.dual and st.in_affine and st.w_src == "wB"
                       and self._wb_resident)
@@ -656,7 +764,10 @@ class FusedTransfer:
         # quantize chain keeps an extra temporary live
         mm_sz = 1 if self.quant else 2
         direct = self._direct_ok(st) and not calibrate and not check
-        for th in sorted((d for d in range(1, hp // 2 + 1) if hp % d == 0),
+        # fold2 pairs output rows: band height must be even
+        lo = 2 if st.repack == "fold2" else 1
+        for th in sorted((d for d in range(lo, hp // 2 + 1)
+                          if hp % d == 0 and d % lo == 0),
                          reverse=True):
             rows = th + st.ph - 1
             wpad = _round_up(wp + st.pw - 1, 8)
@@ -700,9 +811,14 @@ class FusedTransfer:
             if has_w or w_resident:
                 # streamed ring, or the resident plane's broadcast temps
                 est += 2 * rows * wp * st.cin * 2
-            if est <= budget or th == 1:
+            if st.repack is not None:
+                # repack transform temporaries; unfold2 additionally pads the
+                # out ring to LANE channels (2x the logical band bytes)
+                est += (4 if st.repack == "unfold2" else 2) * \
+                    th * wp * st.cout * 2
+            if est <= budget or th == lo:
                 return th
-        return 1
+        return lo
 
     def _kernel_fn(self, content, *refs):
         return self._kernel_impl(False, content, *refs)
@@ -722,9 +838,10 @@ class FusedTransfer:
         n_k = len(self._kernels)
         kernel_refs = refs[:n_k]
         n_w = 4 if self.dual else 0
-        bias_tbl, contract_tbl, style_tbl, g_e0, g_e1, g_fin = \
-            refs[n_k:n_k + 6]
-        nt = n_k + 6
+        g_names = list(self._g)
+        n_t = 3 + len(g_names)
+        bias_tbl, contract_tbl, style_tbl, *g_refs = refs[n_k:n_k + n_t]
+        nt = n_k + n_t
         dequant_tbl = act_inv_tbl = None
         if self.quant:
             dequant_tbl, act_inv_tbl = refs[nt:nt + 2]
@@ -736,11 +853,19 @@ class FusedTransfer:
         w_refs = refs[nt:nt + n_w]
         tail = refs[nt + n_w:]
         cal_out = cal_sc = None
+        act_la = act_lb = None
         if calibrate:
-            (out_ref, act_a, act_b, skip_a, skip_b, cal_out,
-             stats_sc, affine_sc, ksem, cal_sc) = tail
+            if self.three_seg:
+                (out_ref, act_a, act_b, skip_a, skip_b, act_la, act_lb,
+                 cal_out, stats_sc, affine_sc, ksem, cal_sc) = tail
+            else:
+                (out_ref, act_a, act_b, skip_a, skip_b, cal_out,
+                 stats_sc, affine_sc, ksem, cal_sc) = tail
             # zero the padded rows once; stages overwrite their own row
             cal_out[...] = jnp.zeros_like(cal_out)
+        elif self.three_seg:
+            (out_ref, act_a, act_b, skip_a, skip_b, act_la, act_lb,
+             stats_sc, affine_sc, ksem) = tail
         else:
             (out_ref, act_a, act_b, skip_a, skip_b,
              stats_sc, affine_sc, ksem) = tail
@@ -752,13 +877,14 @@ class FusedTransfer:
             frame = pl.program_id(0)
             content = content.at[frame]
             out_ref = out_ref.at[frame]
-        g_by_name = {"e0": g_e0, "e1": g_e1, "fin": g_fin}
+        g_by_name = dict(zip(g_names, g_refs))
         buf = {"content": content, "actA": act_a, "actB": act_b,
                "skipA": skip_a, "skipB": skip_b, "out": out_ref}
+        if self.three_seg:
+            buf.update({"actLA": act_la, "actLB": act_lb})
         if self.dual:
             buf.update({"wB": w_refs[0], "wE0": w_refs[1],
                         "wE1": w_refs[2], "wFin": w_refs[3]})
-        hp, wp = self.hp, self.wp
         eps = self.eps
 
         def fold_cin_affine(st: _Stage):
@@ -804,6 +930,7 @@ class FusedTransfer:
             priced at ~2.3 MB scoped — affordable now that finding 12 showed
             the 16 MB scoped-VMEM limit is compiler conservatism, lifted via
             ``vmem_limit_bytes``)."""
+            hp, wp = st.hp, st.wp
             th = self._pick_th(si, st, calibrate=calibrate, check=check)
             nb = hp // th
             rows = th + st.ph - 1
@@ -949,6 +1076,7 @@ class FusedTransfer:
             pl.run_scoped(body, *scratch)
 
         def run_conv(si: int, st: _Stage, k_ref):
+            hp, wp = st.hp, st.wp
             th = self._pick_th(si, st, calibrate=calibrate, check=check)
             nb = hp // th
             rows = th + st.ph - 1
@@ -964,6 +1092,18 @@ class FusedTransfer:
                      and not w_resident and not w_vmem)
             has_transform = (st.in_affine or st.in_relu
                              or st.skip_in is not None)
+            # grid-transition producers re-lay the output band (module
+            # docstring 'repack'); their out ring carries the re-laid shape
+            if st.repack == "fold2":
+                assert th % 2 == 0, (st.name, th)
+                ob_rows, ob_wp, ob_c = th // 2, wp // 2, 4 * st.cout
+            elif st.repack == "unfold2":
+                ob_rows, ob_wp = 2 * th, 2 * wp
+                ob_c = _round_up(st.cout // 4, LANE)
+            else:
+                ob_rows, ob_wp, ob_c = th, wp, st.cout
+            assert st.repack is None or (
+                st.skip_out is None and st.dst_c0 == 0), st.name
 
             def body(*scratch):
                 it = iter(scratch)
@@ -1007,8 +1147,8 @@ class FusedTransfer:
                 def out_dma(slot, i):
                     return pltpu.make_async_copy(
                         outb.at[slot],
-                        buf[st.dst].at[pl.ds(i * th, th), :,
-                                       pl.ds(st.dst_c0, st.cout)],
+                        buf[st.dst].at[pl.ds(i * ob_rows, ob_rows), :,
+                                       pl.ds(st.dst_c0, ob_c)],
                         outsem.at[slot])
 
                 def skip_out_dma(slot, i):
@@ -1223,7 +1363,34 @@ class FusedTransfer:
                     def _():
                         out_dma(slot, i - 2).wait()
 
-                    outb[slot] = outv.reshape(th, wp, st.cout)
+                    if st.repack == "fold2":
+                        # two content-grid rows -> one bottleneck row: fold
+                        # column pairs into lanes (free row-major reshape),
+                        # then de-interleave row parities into channel blocks
+                        # (the reshape+index form that lowers in Mosaic —
+                        # tools/probe_repack_ops.py)
+                        r = outv.reshape(th // 2, 2, ob_wp, 2 * st.cout)
+                        outb[slot] = jnp.concatenate([r[:, 0], r[:, 1]], -1)
+                    elif st.repack == "unfold2":
+                        # bottleneck f4 -> content-grid f2, decomposed into
+                        # the two casts Mosaic lowers (probed on the v5e —
+                        # the one-shot stack+reshape is rejected with
+                        # "unsupported shape cast"): (1) a sublane row
+                        # interleave with the lane dim unchanged
+                        # (stack + reshape), then (2) a lane->column unfold
+                        # cast, with each column-parity block pre-padded to
+                        # ob_c lanes so the cast lands on (2th, 2wp, ob_c).
+                        ov = outv.reshape(th, wp, st.cout)
+                        half = st.cout // 2
+                        q = half // 2  # per-column-parity f2 channels
+                        z = jnp.stack([ov[:, :, :half], ov[:, :, half:]],
+                                      axis=1).reshape(2 * th, wp, half)
+                        pad = jnp.zeros((2 * th, wp, ob_c - q), z.dtype)
+                        zp = jnp.concatenate(
+                            [z[:, :, :q], pad, z[:, :, q:], pad], axis=-1)
+                        outb[slot] = zp.reshape(2 * th, 2 * wp, ob_c)
+                    else:
+                        outb[slot] = outv.reshape(th, wp, st.cout)
                     out_dma(slot, i).start()
                     return 0
 
@@ -1268,7 +1435,7 @@ class FusedTransfer:
                 pltpu.VMEM((rows, wpad, st.cin), mm_dt),
                 pltpu.VMEM((2, rows, wp, st.cin), jnp.bfloat16),
                 pltpu.VMEM(self._kernels[si].shape, mm_dt),
-                pltpu.VMEM((2, th, wp, st.cout), jnp.bfloat16),
+                pltpu.VMEM((2, ob_rows, ob_wp, ob_c), jnp.bfloat16),
             ]
             if has_skip:
                 scratch += [
@@ -1291,7 +1458,8 @@ class FusedTransfer:
             pl.run_scoped(body, *scratch)
 
         def run_pointwise(st: _Stage):
-            th = self.th
+            hp, wp = st.hp, st.wp
+            th = max(t for t in (8, 4, 2, 1) if hp % t == 0)
             nb = hp // th
             has_w = self.dual and st.in_affine and st.w_src is not None
             w_vmem = has_w and self._w_all_resident  # wFin resident in VMEM
@@ -1602,7 +1770,7 @@ class FusedTransfer:
         for i, st in enumerate(conv_stages):
             th = self._pick_th(i, st, calibrate=True, check=True)
             rows = th + st.ph - 1
-            n_elems = (self.hp // th) * rows * self.wp * st.cin * n_frames
+            n_elems = (st.hp // th) * rows * st.wp * st.cin * n_frames
             ratio = float(np.max(
                 mx[i, :st.cin] / np.maximum(scales[i, :st.cin], 1e-6)))
             report.append({
@@ -1660,14 +1828,22 @@ class FusedTransfer:
         return self._run_packed(self.pack_frame(content), prepared)
 
     def _act_out_shapes(self, hp, wp):
-        """The kernel's five HBM outputs (stylized + ping-pong + skips)."""
-        return (
+        """The kernel's HBM outputs (stylized + ping-pong + skips; the
+        3-contract family appends the content-grid ping-pong pair)."""
+        hs, ws = self.hp_s, self.wp_s
+        shapes = (
             jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # out
-            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actA
-            jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actB
-            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipA
-            jax.ShapeDtypeStruct((hp, wp, LANE), jnp.bfloat16),   # skipB
+            jax.ShapeDtypeStruct((hs, ws, ACT_C), jnp.bfloat16),  # actA
+            jax.ShapeDtypeStruct((hs, ws, ACT_C), jnp.bfloat16),  # actB
+            jax.ShapeDtypeStruct((hs, ws, LANE), jnp.bfloat16),   # skipA
+            jax.ShapeDtypeStruct((hs, ws, LANE), jnp.bfloat16),   # skipB
         )
+        if self.three_seg:
+            shapes += (
+                jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actLA
+                jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actLB
+            )
+        return shapes
 
     def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None,
                 calibrate=False, extra_tables=()):
@@ -1701,8 +1877,8 @@ class FusedTransfer:
         else:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 has_side_effects=True, **vmem_cap)
-        tables = [self._biases, self._contract, style_tbl,
-                  self._g_jnp["e0"], self._g_jnp["e1"], self._g_jnp["fin"]]
+        tables = [self._biases, self._contract, style_tbl] + [
+            self._g_jnp[n] for n in self._g]
         if self.quant:
             tables += [self._dequant, self._act_inv]
         tables += list(extra_tables)

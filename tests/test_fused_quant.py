@@ -215,3 +215,27 @@ def test_calibrate_refuses_on_quant_engine(single):
                         quant="int8", act_scales=scales)
     with pytest.raises(ValueError, match="bf16 engine"):
         ftq.calibrate_act_scales([packed], prepared)
+
+
+def test_quant_three_seg_close_to_bf16():
+    """int8 PTQ on the divider-1 (3-contract) two-segment kernel: the
+    calibrate tail and quantize chain work across both band grids and the
+    fold2/unfold2 repack stages (repacks happen AFTER dequant, on bf16)."""
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=8,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True)
+    plan = plan_from_config(cfg)
+    assert plan.num_contract_blocks == 3
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    rng = np.random.default_rng(24)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    variables = jax.device_get(jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content, style_params, train=False))
+    ref, got, scales = _quant_pair(plan, variables, style_params, content)
+    assert scales.shape[1] == ACT_C
+    err = np.abs(got - ref)
+    assert err.max() < 0.06
+    assert np.median(err) < 0.01

@@ -119,7 +119,8 @@ def test_fused_matches_standard_f32_loosely(flagship_tiny):
 
 def test_fused_rejects_unsupported_plans(flagship_tiny):
     _cfg, _plan, _net, variables, _c, _p = flagship_tiny
-    bad = ShapeConfig(resolution_divider=8, bottleneck_res_y=15,
+    # 1-contract/1-expand (shallow family): outside both supported schedules
+    bad = ShapeConfig(resolution_divider=16, bottleneck_res_y=30,
                       bottleneck_num_filters=4, num_channels=3, hdr=False)
     with pytest.raises(ValueError, match="flagship"):
         FusedTransfer(variables, plan_from_config(bad))
@@ -301,3 +302,81 @@ def test_chunked_launch_matches_single_frames(flagship_tiny):
         for i in range(3)])
     assert chunk.shape == (3,) + chunk.shape[1:]
     np.testing.assert_array_equal(chunk, singles)
+
+
+# ---- divider-1 (3-contract/3-expand) two-segment family --------------------
+# rst-1920's shape family (reference shape_config.py:14-15 at
+# resolution_divider=1; block math styleTransfer.py:217,258): the fused
+# kernel runs stem/c1/c2 + e2/final/finish on the (H/4, W/4) content grid and
+# c3/res-core/e0/e1 on the (H/8, W/8) bottleneck grid, with the grid
+# transitions folded into c2's and e1's output bands (_Stage.repack).
+TINY3 = ShapeConfig(resolution_divider=15, bottleneck_res_y=8,
+                    bottleneck_num_filters=8, num_channels=17, hdr=True)
+
+
+@pytest.fixture(scope="module")
+def divider1_tiny():
+    rng = np.random.default_rng(21)
+    cfg = TINY3
+    plan = plan_from_config(cfg)
+    assert (plan.num_contract_blocks, plan.num_expand_blocks) == (3, 3)
+    net = StyleTransferNet(plan=plan, num_styles=1)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    style_params = jnp.asarray(
+        (rng.random((1, 1, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content, style_params, train=False)
+    return cfg, plan, net, variables, content, style_params
+
+
+def test_fused_three_seg_matches_packed(divider1_tiny):
+    """Two-segment fused kernel == the packed XLA path on a tiny divider-1
+    plan.  The oracle runs at f32 (compiling the bf16 packed graph for THIS
+    3-contract plan segfaults XLA:CPU on this box — a compiler crash, not a
+    semantics issue; the flagship-family bf16 oracle above compiles fine), so
+    tolerances cover fused-bf16-vs-f32 rounding."""
+    cfg, plan, _net, variables, content, style_params = divider1_tiny
+    want = np.asarray(jax.jit(
+        lambda v, c, p: stylize_packed(v, c, p, plan=plan, dtype=jnp.float32)
+    )(variables, content, style_params), np.float32)
+
+    fused = FusedTransfer(variables, plan, interpret=True)
+    assert fused.three_seg
+    # both grids appear in the stage table, with one fold and one unfold
+    assert [st.repack for st in fused.stages if st.repack] == \
+        ["fold2", "unfold2"]
+    got = np.asarray(fused(content, style_params), np.float32)
+    assert got.shape == want.shape == (1,) + cfg.output_shape
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+    assert np.median(np.abs(got - want)) < 5e-3
+
+
+def test_fused_three_seg_prepacked_matches_direct(divider1_tiny):
+    """The deploy contracts (host pack twin, prepacked call, raw out +
+    host unpack twin) hold on the two-segment kernel too."""
+    _cfg, plan, _net, variables, content, style_params = divider1_tiny
+    fused = FusedTransfer(variables, plan, interpret=True)
+    prepared = fused.prepare_style(style_params)
+    direct = np.asarray(fused(content, style_params), np.float32)
+
+    packed_np = fused.pack_frame_np(np.asarray(content))
+    packed_dev = jax.jit(fused.pack_frame)(content)
+    np.testing.assert_array_equal(
+        np.asarray(packed_dev).view(np.uint16), packed_np.view(np.uint16))
+    out = np.asarray(
+        fused.stylize_prepacked(jnp.asarray(packed_np), prepared), np.float32)
+    np.testing.assert_array_equal(out, direct)
+
+    raw = fused.stylize_prepacked_raw(jnp.asarray(packed_np), prepared)
+    unpacked = fused.unpack_frame_np(np.asarray(raw))
+    np.testing.assert_array_equal(unpacked, direct)
+
+
+def test_fused_three_seg_rejects_dual(divider1_tiny):
+    """Dual-style is not yet wired for the 3-contract family: the weight-mip
+    ring is keyed to the single-grid schedule — must fail at the constructor."""
+    _cfg, plan, _net, variables, _c, _p = divider1_tiny
+    with pytest.raises(ValueError, match="dual-style"):
+        FusedTransfer(variables, plan, num_styles=2)
