@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +90,23 @@ _BUDGET_DUAL_MB = float(os.environ.get("RST_FUSED_BUDGET_DUAL_MB", 12))
 # scoped-VMEM cliff (finding 9); the probe proved that cliff is compiler
 # conservatism, so this re-lands it under the raised cap.
 _DIRECT_RING = os.environ.get("RST_FUSED_DIRECT_RING", "1") not in ("0", "")
+# Producer-quantized int8 activation edges (r5, quant engines only): where a
+# stage's ONLY consumer is a transform-free conv, the producer quantizes its
+# f32 epilogue output with the consumer's act_inv row and ships int8 — the
+# consumer's per-band quantize pass disappears and the edge's HBM ring
+# traffic halves (stem->c1 alone is ~29 MB/frame bf16 on the flagship).
+# Default OFF: same-session A/B on the real v5e measured it NEUTRAL within
+# tunnel noise (int8 1.211 vs 1.191 ms; reversed-order rerun inverted the
+# sign) — the quantize VPU work just moves producer-side and the DMA-byte
+# saving is offset by int8 store/tile costs, which pins the int8 engine's
+# dilution (probe finding 10's 218-of-394 TOP/s band ceiling) on the int8
+# temp-store/slab-move pattern itself, not quantize placement or ring bytes.
+_Q_EDGES = os.environ.get("RST_FUSED_Q_EDGES", "0") not in ("0", "")
+# Dual-style wB layout A/B (r5, VERDICT task 9): ship the bottleneck weight
+# mip PRE-EXPANDED (hp, wp, LANE-padded filters) and VMEM-resident (~7.4 MB
+# under the raised cap) instead of the compact f32 plane whose per-band
+# roll + lane-insert broadcast the r3 floor analysis priced.
+_WB_EXPANDED = os.environ.get("RST_FUSED_WB_EXPANDED", "0") not in ("0", "")
 # Dual-style expand-resolution weight mips (wE0/wE1/wFin, ~30 MB total on
 # the flagship) as VMEM-RESIDENT kernel inputs instead of per-band DMA
 # rings.  r3 wrote the ~0.14 ms expand-mip ring traffic off under the 16 MB
@@ -285,6 +302,17 @@ class _Stage:
     # free row-major reshape; the row pairing is the sublane interleave
     # formulation proven to lower in Mosaic (tools/probe_repack_ops.py).
     repack: Optional[str] = None   # None | 'fold2' | 'unfold2'
+    # int8-quantized activation edge (quant engines only): q_out_si >= 0
+    # makes this producer quantize its f32 epilogue output with the
+    # CONSUMER's act_inv row (that row's kernel index) and store int8 to the
+    # dst's int8 twin buffer; q_in makes this consumer read the int8 twin
+    # and skip its in-band quantize pass.  Eligible edges are computed in
+    # _build: the consumer must be a transform-free conv (no in_affine/
+    # in_relu/skips), so the quantize point is IDENTICAL to the in-band one
+    # (same values modulo the skipped bf16 round-trip) and calibration
+    # scales transfer unchanged.
+    q_out_si: int = -1
+    q_in: bool = False
 
 
 class FusedTransfer:
@@ -297,7 +325,9 @@ class FusedTransfer:
                  quant: Optional[str] = None,
                  act_scales: Optional[np.ndarray] = None,
                  direct_ring: Optional[bool] = None,
-                 wmip_resident: Optional[bool] = None):
+                 wmip_resident: Optional[bool] = None,
+                 q_edges: Optional[bool] = None,
+                 wb_expanded: Optional[bool] = None):
         if (plan.num_contract_blocks, plan.num_expand_blocks) not in (
                 (2, 2), (3, 3)):
             raise ValueError("fused kernel supports the 2-contract/2-expand "
@@ -341,8 +371,13 @@ class FusedTransfer:
             raise ValueError(
                 "dual-style is not yet supported on the 3-contract "
                 "(divider-1) fused kernel; use stylize_packed")
+        # pre-expanded VMEM-resident wB (A/B vs the compact plane's in-kernel
+        # broadcast; _WB_EXPANDED)
+        self._wb_expanded = self.dual and (
+            _WB_EXPANDED if wb_expanded is None else bool(wb_expanded))
         # compact VMEM-resident wB plane needs 8-aligned window math
-        self._wb_resident = self.dual and self.hp % 8 == 0
+        self._wb_resident = (self.dual and self.hp % 8 == 0
+                             and not self._wb_expanded)
         # expand-resolution mips resident in VMEM (dual only; ~30 MB on the
         # flagship — needs the raised scoped-VMEM cap, see _launch)
         self._w_all_resident = self.dual and (
@@ -361,6 +396,10 @@ class FusedTransfer:
         # docstring / finding 9 re-land).  Constructor overrides the env
         # default (RST_FUSED_DIRECT_RING) for A/B measurement.
         self.direct = _DIRECT_RING if direct_ring is None else bool(direct_ring)
+        # Producer-quantized int8 edges (module docstring at _Q_EDGES);
+        # constructor override for A/B measurement.
+        self._use_q_edges = self.quant and (
+            _Q_EDGES if q_edges is None else bool(q_edges))
         if self.quant and act_scales is None:
             raise ValueError("quant='int8' requires act_scales from "
                              "calibrate_act_scales() on the bf16 engine")
@@ -626,6 +665,55 @@ class FusedTransfer:
         self._g["fin"] = gmat(fin_f, 16, 16 * fin_f, LANE)
         exp_layout.append(("fin", fin_f, 16))
         self._style_layout = [("res", filters, 1)] * 10 + exp_layout
+
+        # ---- int8 activation edges (quant engines; _Q_EDGES) ----------------
+        # A producer ships int8 when every reader of its dst version (up to
+        # the next overwrite; N-split halves of one conv co-write a version)
+        # is a single transform-free conv: the quantize point then moves
+        # into the producer's epilogue bit-compatibly (same act_inv row,
+        # minus the bf16 round-trip) and the edge's ring bytes halve.
+        self._q_dsts: Tuple[str, ...] = ()
+        if self._use_q_edges:
+            def base(n: str) -> str:
+                return n.split("_n")[0]
+
+            conv_row = {}
+            row = 0
+            for idx, st in enumerate(stages):
+                if st.kind == "conv":
+                    conv_row[idx] = row
+                    row += 1
+            q_out_rows: dict = {}
+            q_in_idx: set = set()
+            q_dsts: List[str] = []
+            for i, st in enumerate(stages):
+                if (st.kind != "conv" or st.repack is not None
+                        or st.dst == "out" or st.stats):
+                    continue
+                readers = []
+                for j in range(i + 1, len(stages)):
+                    nx = stages[j]
+                    if nx.dst == st.dst and base(nx.name) != base(st.name):
+                        break  # dst version overwritten
+                    if nx.src == st.dst and base(nx.name) != base(st.name):
+                        readers.append(j)
+                if len(readers) != 1:
+                    continue
+                c = stages[readers[0]]
+                if (c.kind != "conv" or c.in_affine or c.in_relu
+                        or c.skip_in is not None or c.skip_out is not None):
+                    continue
+                q_out_rows[i] = conv_row[readers[0]]
+                q_in_idx.add(readers[0])
+                if st.dst not in q_dsts:
+                    q_dsts.append(st.dst)
+            for i, st in enumerate(stages):
+                if i in q_out_rows or i in q_in_idx:
+                    stages[i] = dataclasses.replace(
+                        st, q_out_si=q_out_rows.get(i, -1),
+                        q_in=i in q_in_idx)
+            self._q_dsts = tuple(q_dsts)
+
         self.stages = tuple(stages)
         # Packed kernels are structurally sparse at two granularities, both
         # host-known and exactness-preserving to skip:
@@ -755,8 +843,11 @@ class FusedTransfer:
         has_skip = st.skip_in is not None or st.skip_out is not None
         w_resident = (self.dual and st.in_affine and st.w_src == "wB"
                       and self._wb_resident)
+        w_vmem = (self.dual and st.in_affine and st.w_src is not None
+                  and (self._wb_expanded if st.w_src == "wB"
+                       else self._w_all_resident))
         has_w = (self.dual and st.in_affine and st.w_src is not None
-                 and not w_resident)
+                 and not w_resident and not w_vmem)
         has_transform = (st.in_affine or st.in_relu
                          or st.skip_in is not None)
         budget = int((_BUDGET_DUAL_MB if self.dual else _BUDGET_MB) * 2 ** 20)
@@ -854,21 +945,25 @@ class FusedTransfer:
         tail = refs[nt + n_w:]
         cal_out = cal_sc = None
         act_la = act_lb = None
+        # outputs: base act/skip buffers (+ content-grid pair, three_seg)
+        # (+ int8 edge twins, quant) (+ cal row, calibrate); then scratch.
+        # calibrate/check run on bf16 engines, so q twins and cal_out are
+        # mutually exclusive.
+        n_base = 7 if self.three_seg else 5
+        n_q = len(self._q_dsts)
+        n_outs = n_base + n_q + (1 if calibrate else 0)
+        outs, scr = tail[:n_outs], tail[n_outs:]
+        out_ref, act_a, act_b, skip_a, skip_b = outs[:5]
+        if self.three_seg:
+            act_la, act_lb = outs[5:7]
+        q_refs = outs[n_base:n_base + n_q]
         if calibrate:
-            if self.three_seg:
-                (out_ref, act_a, act_b, skip_a, skip_b, act_la, act_lb,
-                 cal_out, stats_sc, affine_sc, ksem, cal_sc) = tail
-            else:
-                (out_ref, act_a, act_b, skip_a, skip_b, cal_out,
-                 stats_sc, affine_sc, ksem, cal_sc) = tail
+            cal_out = outs[-1]
+            stats_sc, affine_sc, ksem, cal_sc = scr
             # zero the padded rows once; stages overwrite their own row
             cal_out[...] = jnp.zeros_like(cal_out)
-        elif self.three_seg:
-            (out_ref, act_a, act_b, skip_a, skip_b, act_la, act_lb,
-             stats_sc, affine_sc, ksem) = tail
         else:
-            (out_ref, act_a, act_b, skip_a, skip_b,
-             stats_sc, affine_sc, ksem) = tail
+            stats_sc, affine_sc, ksem = scr
         if chunked:
             # Chunk mode: grid=(N,) iterates frames SEQUENTIALLY inside ONE
             # kernel launch (amortizes launch + per-launch host dispatch).
@@ -882,6 +977,7 @@ class FusedTransfer:
                "skipA": skip_a, "skipB": skip_b, "out": out_ref}
         if self.three_seg:
             buf.update({"actLA": act_la, "actLB": act_lb})
+        bufq = dict(zip(self._q_dsts, q_refs))  # int8 edge twins
         if self.dual:
             buf.update({"wB": w_refs[0], "wE0": w_refs[1],
                         "wE1": w_refs[2], "wFin": w_refs[3]})
@@ -1087,7 +1183,8 @@ class FusedTransfer:
             w_resident = (self.dual and st.in_affine and st.w_src == "wB"
                           and self._wb_resident)  # f32 (hp, wp) plane in VMEM
             w_vmem = (self.dual and st.in_affine and st.w_src is not None
-                      and st.w_src != "wB" and self._w_all_resident)
+                      and (self._wb_expanded if st.w_src == "wB"
+                           else self._w_all_resident))
             has_w = (self.dual and st.in_affine and st.w_src is not None
                      and not w_resident and not w_vmem)
             has_transform = (st.in_affine or st.in_relu
@@ -1118,7 +1215,8 @@ class FusedTransfer:
                 cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
                 cp.start()
 
-                src = buf[st.src]
+                # q_in consumers read the producer-quantized int8 twin
+                src = bufq[st.src] if st.q_in else buf[st.src]
 
                 def in_dma(slot, i):
                     w0 = i * th + st.lo_y
@@ -1145,10 +1243,11 @@ class FusedTransfer:
                         w_stag.at[slot], wsem.at[slot])
 
                 def out_dma(slot, i):
+                    dst = bufq[st.dst] if st.q_out_si >= 0 else buf[st.dst]
                     return pltpu.make_async_copy(
                         outb.at[slot],
-                        buf[st.dst].at[pl.ds(i * ob_rows, ob_rows), :,
-                                       pl.ds(st.dst_c0, ob_c)],
+                        dst.at[pl.ds(i * ob_rows, ob_rows), :,
+                               pl.ds(st.dst_c0, ob_c)],
                         outsem.at[slot])
 
                 def skip_out_dma(slot, i):
@@ -1263,7 +1362,11 @@ class FusedTransfer:
                             over = (xf * inv > 127.5).astype(jnp.float32)
                             cal_sc[1:2, :st.cin] += jnp.sum(
                                 over, axis=(0, 1))[None, :]
-                    if self.quant:
+                    if st.q_in:
+                        # the producer already quantized this edge with OUR
+                        # act_inv row — the band is int8 on arrival
+                        xt_q = xt
+                    elif self.quant:
                         # static per-stage per-channel scales: quantize in
                         # the same pass that staged into temp before (f32
                         # mul for rounding headroom)
@@ -1357,7 +1460,18 @@ class FusedTransfer:
                             acc, axis=0, keepdims=True)
                         stats_sc[1:2, :st.cout] += jnp.sum(
                             acc * acc, axis=0, keepdims=True)
-                    outv = acc.astype(jnp.bfloat16)
+                    if st.q_out_si >= 0:
+                        # producer-quantized edge: quantize the f32 epilogue
+                        # output with the CONSUMER's act_inv row (same values
+                        # the consumer's in-band quantize would produce,
+                        # minus the bf16 round-trip) and ship int8
+                        qinv = act_inv_tbl[
+                            st.q_out_si:st.q_out_si + 1,
+                            st.dst_c0:st.dst_c0 + st.cout]
+                        outv = jnp.clip(jnp.rint(acc * qinv),
+                                        -127.0, 127.0).astype(jnp.int8)
+                    else:
+                        outv = acc.astype(jnp.bfloat16)
 
                     @pl.when(i >= 2)
                     def _():
@@ -1433,9 +1547,12 @@ class FusedTransfer:
             mm_dt = jnp.int8 if self.quant else jnp.bfloat16
             scratch = [
                 pltpu.VMEM((rows, wpad, st.cin), mm_dt),
-                pltpu.VMEM((2, rows, wp, st.cin), jnp.bfloat16),
+                # q_in: the band arrives already int8 (producer-quantized)
+                pltpu.VMEM((2, rows, wp, st.cin),
+                           jnp.int8 if st.q_in else jnp.bfloat16),
                 pltpu.VMEM(self._kernels[si].shape, mm_dt),
-                pltpu.VMEM((2, ob_rows, ob_wp, ob_c), jnp.bfloat16),
+                pltpu.VMEM((2, ob_rows, ob_wp, ob_c),
+                           jnp.int8 if st.q_out_si >= 0 else jnp.bfloat16),
             ]
             if has_skip:
                 scratch += [
@@ -1818,7 +1935,8 @@ class FusedTransfer:
         if not w_inputs:
             return []
         wb_spec = pl.BlockSpec(
-            memory_space=pltpu.VMEM if self._wb_resident else pl.ANY)
+            memory_space=pltpu.VMEM
+            if (self._wb_resident or self._wb_expanded) else pl.ANY)
         rest_space = pltpu.VMEM if self._w_all_resident else pl.ANY
         return ([wb_spec]
                 + [pl.BlockSpec(memory_space=rest_space)]
@@ -1843,6 +1961,14 @@ class FusedTransfer:
                 jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actLA
                 jax.ShapeDtypeStruct((hp, wp, ACT_C), jnp.bfloat16),  # actLB
             )
+        if self._q_dsts:
+            # int8 twins for the producer-quantized edges (_Q_EDGES): same
+            # spatial shape as the bf16 buffer they shadow, half the bytes
+            by_name = {"actA": (hs, ws), "actB": (hs, ws),
+                       "actLA": (hp, wp), "actLB": (hp, wp)}
+            shapes += tuple(
+                jax.ShapeDtypeStruct(by_name[n] + (ACT_C,), jnp.int8)
+                for n in self._q_dsts)
         return shapes
 
     def _launch(self, kernel_fn, p, prepared, out_shapes, *, grid=None,
@@ -1862,12 +1988,13 @@ class FusedTransfer:
         # the tuned schedules keep compiling regardless of the caller's
         # program shape instead of re-tuning every budget 0.5 MB down.
         vmem_bytes = int(_VMEM_CAP_MB * 2 ** 20)
-        if self._w_all_resident and w_inputs:
+        if w_inputs and (self._w_all_resident or self._wb_expanded):
             # resident weight-mip inputs charge the same scoped-VMEM stack as
             # kernel scratch (finding 9); keep the stage headroom constant
             # above them
+            resident = (w_inputs if self._w_all_resident else w_inputs[:1])
             vmem_bytes += sum(
-                int(np.prod(w.shape)) * w.dtype.itemsize for w in w_inputs)
+                int(np.prod(w.shape)) * w.dtype.itemsize for w in resident)
         vmem_cap = dict(vmem_limit_bytes=vmem_bytes)
         if grid is not None:
             kwargs["grid"] = grid

@@ -239,3 +239,42 @@ def test_quant_three_seg_close_to_bf16():
     err = np.abs(got - ref)
     assert err.max() < 0.06
     assert np.median(err) < 0.01
+
+
+def test_quant_producer_edges_match_consumer_quantize(single):
+    """Producer-quantized int8 edges (RST_FUSED_Q_EDGES): where a stage's
+    only consumer is a transform-free conv, the producer quantizes its f32
+    epilogue output with the consumer's act_inv row and ships int8.  The
+    quantize point is the same — outputs may differ from the consumer-side
+    engine only by +/-1-quantum ties from the skipped bf16 round-trip."""
+    plan, variables, content, style_params, _ = single
+    ft = FusedTransfer(variables, plan, interpret=True)
+    prepared = ft.prepare_style(style_params)
+    packed = ft.pack_frame(content)
+    ref = np.asarray(ft.stylize_prepacked(packed, prepared), np.float32)
+    scales = ft.calibrate_act_scales([packed], prepared)
+    ft_off = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                           act_scales=scales, q_edges=False)
+    ft_on = FusedTransfer(variables, plan, interpret=True, quant="int8",
+                          act_scales=scales, q_edges=True)
+    # the flagship edge set: stem->c1, c1->c2, c2->res0a (res0a is the only
+    # transform-free res conv; everything downstream carries CIN affines)
+    edges = [(st.name, st.q_out_si, st.q_in) for st in ft_on.stages
+             if st.q_out_si >= 0 or st.q_in]
+    assert edges == [("stem_n0", 2, False), ("stem_n1", 2, False),
+                     ("c1", 3, True), ("c2", 4, True), ("res0a", -1, True)]
+    assert all(st.q_out_si < 0 and not st.q_in for st in ft_off.stages)
+    g_off = np.asarray(
+        ft_off.stylize_prepacked(packed, ft_off.prepare_style(style_params)),
+        np.float32)
+    g_on = np.asarray(
+        ft_on.stylize_prepacked(packed, ft_on.prepare_style(style_params)),
+        np.float32)
+    # both engines hold the standard PTQ fidelity bar vs bf16
+    for got in (g_off, g_on):
+        err = np.abs(got - ref)
+        assert err.max() < 0.06 and np.median(err) < 0.01
+    # and agree with each other up to quantization-tie noise
+    d = np.abs(g_on - g_off)
+    assert np.median(d) == 0.0
+    assert d.max() < 0.03

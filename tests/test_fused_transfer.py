@@ -380,3 +380,34 @@ def test_fused_three_seg_rejects_dual(divider1_tiny):
     _cfg, plan, _net, variables, _c, _p = divider1_tiny
     with pytest.raises(ValueError, match="dual-style"):
         FusedTransfer(variables, plan, num_styles=2)
+
+
+def test_dual_wb_expanded_bit_identical_to_compact(rng):
+    """The r5 wB-layout A/B (RST_FUSED_WB_EXPANDED): shipping the bottleneck
+    weight mip pre-expanded + VMEM-resident must be bit-identical to the
+    compact-plane path (same f32 values, same bf16 rounding point — only the
+    broadcast moves from in-kernel roll/lane-insert to host prep)."""
+    cfg = ShapeConfig(resolution_divider=15, bottleneck_res_y=16,
+                      bottleneck_num_filters=8, num_channels=17, hdr=True,
+                      num_styles=2)
+    plan = plan_from_config(cfg)
+    net = StyleTransferNet(plan=plan, num_styles=2)
+    content = jnp.asarray(
+        rng.random((1,) + cfg.content_shape).astype(np.float32))
+    sp = jnp.asarray(
+        (rng.random((1, 2, plan.num_style_parameters)) * 0.4 + 0.8)
+        .astype(np.float32))
+    h, w, _ = cfg.content_shape
+    yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None, None]
+    weights = jnp.asarray(np.broadcast_to(yy, (1, h, w, 1)).copy())
+    variables = jax.device_get(jax.jit(net.init, static_argnames=("train",))(
+        jax.random.PRNGKey(3), content, sp, train=False,
+        style_weights=weights))
+    compact = FusedTransfer(variables, plan, num_styles=2, interpret=True,
+                            wb_expanded=False)
+    expanded = FusedTransfer(variables, plan, num_styles=2, interpret=True,
+                             wb_expanded=True)
+    assert compact._wb_resident and not expanded._wb_resident
+    ga = np.asarray(compact(content, sp, weights), np.float32)
+    gb = np.asarray(expanded(content, sp, weights), np.float32)
+    np.testing.assert_array_equal(ga, gb)
