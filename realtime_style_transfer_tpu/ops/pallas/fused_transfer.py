@@ -107,6 +107,11 @@ _Q_EDGES = os.environ.get("RST_FUSED_Q_EDGES", "0") not in ("0", "")
 # under the raised cap) instead of the compact f32 plane whose per-band
 # roll + lane-insert broadcast the r3 floor analysis priced.
 _WB_EXPANDED = os.environ.get("RST_FUSED_WB_EXPANDED", "0") not in ("0", "")
+# VMEM-resident stage kernels (r5, VERDICT task 6 A/B): ship every packed
+# conv kernel as a VMEM blockspec input (~9 MB bf16 on the flagship) instead
+# of per-stage HBM->VMEM copies — prices the per-stage kernel-DMA component
+# of the fixed overhead directly.
+_K_RESIDENT = os.environ.get("RST_FUSED_K_RESIDENT", "0") not in ("0", "")
 # Dual-style expand-resolution weight mips (wE0/wE1/wFin, ~30 MB total on
 # the flagship) as VMEM-RESIDENT kernel inputs instead of per-band DMA
 # rings.  r3 wrote the ~0.14 ms expand-mip ring traffic off under the 16 MB
@@ -327,7 +332,8 @@ class FusedTransfer:
                  direct_ring: Optional[bool] = None,
                  wmip_resident: Optional[bool] = None,
                  q_edges: Optional[bool] = None,
-                 wb_expanded: Optional[bool] = None):
+                 wb_expanded: Optional[bool] = None,
+                 k_resident: Optional[bool] = None):
         if (plan.num_contract_blocks, plan.num_expand_blocks) not in (
                 (2, 2), (3, 3)):
             raise ValueError("fused kernel supports the 2-contract/2-expand "
@@ -400,6 +406,9 @@ class FusedTransfer:
         # constructor override for A/B measurement.
         self._use_q_edges = self.quant and (
             _Q_EDGES if q_edges is None else bool(q_edges))
+        # VMEM-resident kernels (A/B; _K_RESIDENT)
+        self._k_resident = (
+            _K_RESIDENT if k_resident is None else bool(k_resident))
         if self.quant and act_scales is None:
             raise ValueError("quant='int8' requires act_scales from "
                              "calibrate_act_scales() on the bf16 engine")
@@ -1052,9 +1061,13 @@ class FusedTransfer:
             wpad = _round_up(xw + wp + (st.pw - 1 + st.lo_x), 8)
 
             def body(*scratch):
-                temp, kbuf, outb, insem, outsem = scratch
-                cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
-                cp.start()
+                if self._k_resident:
+                    temp, outb, insem, outsem = scratch
+                    kbuf, cp = k_ref, None
+                else:
+                    temp, kbuf, outb, insem, outsem = scratch
+                    cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
+                    cp.start()
                 src = buf[st.src]
 
                 def in_dma(slot, i):
@@ -1074,7 +1087,8 @@ class FusedTransfer:
                         outsem.at[slot])
 
                 in_dma(0, 0).start()
-                cp.wait()
+                if cp is not None:
+                    cp.wait()
 
                 def band(i, _):
                     slot = i % 2
@@ -1164,7 +1178,9 @@ class FusedTransfer:
 
             scratch = [
                 pltpu.VMEM((2, rows, wpad, st.cin), jnp.bfloat16),
+            ] + ([] if self._k_resident else [
                 pltpu.VMEM(self._kernels[si].shape, jnp.bfloat16),
+            ]) + [
                 pltpu.VMEM((2, th, wp, st.cout), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1204,7 +1220,9 @@ class FusedTransfer:
 
             def body(*scratch):
                 it = iter(scratch)
-                temp, stag, kbuf, outb = (next(it) for _ in range(4))
+                temp, stag = next(it), next(it)
+                kbuf = k_ref if self._k_resident else next(it)
+                outb = next(it)
                 skip_stag = next(it) if has_skip else None
                 skip_outb = next(it) if has_skip else None
                 w_stag = next(it) if has_w else None
@@ -1212,8 +1230,11 @@ class FusedTransfer:
                 sksem = next(it) if has_skip else None
                 sosem = next(it) if has_skip else None
                 wsem = next(it) if has_w else None
-                cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
-                cp.start()
+                if self._k_resident:
+                    cp = None
+                else:
+                    cp = pltpu.make_async_copy(k_ref, kbuf, ksem)
+                    cp.start()
 
                 # q_in consumers read the producer-quantized int8 twin
                 src = bufq[st.src] if st.q_in else buf[st.src]
@@ -1262,7 +1283,8 @@ class FusedTransfer:
                     skip_dma(0, 0).start()
                 if has_w:
                     w_dma(0, 0).start()
-                cp.wait()
+                if cp is not None:
+                    cp.wait()
 
                 def band(i, _):
                     slot = i % 2
@@ -1550,7 +1572,9 @@ class FusedTransfer:
                 # q_in: the band arrives already int8 (producer-quantized)
                 pltpu.VMEM((2, rows, wp, st.cin),
                            jnp.int8 if st.q_in else jnp.bfloat16),
+            ] + ([] if self._k_resident else [
                 pltpu.VMEM(self._kernels[si].shape, mm_dt),
+            ]) + [
                 pltpu.VMEM((2, ob_rows, ob_wp, ob_c),
                            jnp.int8 if st.q_out_si >= 0 else jnp.bfloat16),
             ]
@@ -1988,6 +2012,14 @@ class FusedTransfer:
         # the tuned schedules keep compiling regardless of the caller's
         # program shape instead of re-tuning every budget 0.5 MB down.
         vmem_bytes = int(_VMEM_CAP_MB * 2 ** 20)
+        if self._k_resident:
+            # resident kernels charge the scoped-VMEM stack like the resident
+            # weight mips; the per-stage kbuf charge in _pick_th is left in
+            # place so band heights (and the A/B's HLO modulo the copies)
+            # stay comparable
+            vmem_bytes += sum(
+                int(np.prod(k.shape)) * k.dtype.itemsize
+                for k in self._kernels)
         if w_inputs and (self._w_all_resident or self._wb_expanded):
             # resident weight-mip inputs charge the same scoped-VMEM stack as
             # kernel scratch (finding 9); keep the stage headroom constant
@@ -2024,7 +2056,10 @@ class FusedTransfer:
         return pl.pallas_call(
             kernel_fn,
             in_specs=(
-                [pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(self._kernels))
+                [pl.BlockSpec(memory_space=pl.ANY)]
+                + [pl.BlockSpec(
+                    memory_space=pltpu.VMEM if self._k_resident else pl.ANY)]
+                * len(self._kernels)
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
                 + self._w_specs(w_inputs)
             ),

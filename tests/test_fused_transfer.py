@@ -108,6 +108,22 @@ def test_direct_ring_bit_identical_to_staging(flagship_tiny):
     np.testing.assert_array_equal(got, want)
 
 
+def test_k_resident_bit_identical_to_streamed(flagship_tiny):
+    """The r5 VMEM-resident stage-kernel layout (every packed conv kernel
+    arrives as a VMEM blockspec input instead of a per-stage HBM->VMEM copy)
+    must be BIT-identical to the streamed layout: same matmuls, same
+    summation order — only the per-stage kernel DMA is gone."""
+    _cfg, plan, _net, variables, content, style_params = flagship_tiny
+    base = FusedTransfer(variables, plan, interpret=True, k_resident=False)
+    res = FusedTransfer(variables, plan, interpret=True, k_resident=True)
+    prep_b = base.prepare_style(style_params)
+    prep_r = res.prepare_style(style_params)
+    packed = base.pack_frame(content)
+    want = np.asarray(base.stylize_prepacked(packed, prep_b), np.float32)
+    got = np.asarray(res.stylize_prepacked(packed, prep_r), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_matches_standard_f32_loosely(flagship_tiny):
     cfg, plan, net, variables, content, style_params = flagship_tiny
     want = np.asarray(
