@@ -64,6 +64,7 @@ TRIALS = 4
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     from realtime_style_transfer_tpu.config import ShapeConfig
     from realtime_style_transfer_tpu.models.inference import (
         make_inference_model,
@@ -284,6 +285,32 @@ def main() -> None:
             prep19 = ft19.prepare_style(sp19)
             in19 = jnp.asarray(ft19.pack_frame_np(np.asarray(c19)))
             modes["rst1920_bf16"] = measure_fused(ft19, prep19, in19)
+            # int8 PTQ at divider 1 (finding: int8 is the lever here).  Its
+            # calibrate + int8 three-seg compiles are the most expensive in
+            # the envelope; on a cold cache they alone can blow the driver's
+            # 570 s budget, so skip rather than lose the whole artifact.
+            # Warm out-of-band with RST_BENCH_NO_BUDGET=1 and a long timeout
+            # (same HLOs land in the persistent caches).
+            if (time.perf_counter() - t_start > 420.0
+                    and not os.environ.get("RST_BENCH_NO_BUDGET")):
+                modes["rst1920_int8"] = {"skipped": "time budget (cold cache)"}
+            else:
+                try:
+                    ref19 = np.asarray(
+                        ft19.stylize_prepacked(in19, prep19), np.float32)
+                    scales19 = ft19.calibrate_act_scales([in19], prep19)
+                    ft19q = FusedTransfer(jax.device_get(v19), plan19,
+                                          quant="int8", act_scales=scales19)
+                    prep19q = ft19q.prepare_style(sp19)
+                    modes["rst1920_int8"] = measure_fused(
+                        ft19q, prep19q, in19)
+                    got19 = np.asarray(
+                        ft19q.stylize_prepacked(in19, prep19q), np.float32)
+                    mse19 = float(np.mean((got19 - ref19) ** 2))
+                    modes["rst1920_int8"]["psnr_db_vs_bf16"] = round(
+                        10 * np.log10(1.0 / max(mse19, 1e-12)), 1)
+                except Exception as exc:  # noqa: BLE001
+                    modes["rst1920_int8"] = {"error": repr(exc)[:200]}
         except Exception as exc:  # noqa: BLE001
             modes["rst1920_bf16"] = {"error": repr(exc)[:200]}
 
